@@ -1,0 +1,288 @@
+"""Beamforming core: mask-weighted PSDs and all weight solvers — batched JAX.
+
+Functional re-design of the reference's class family
+(/root/reference/scripts/sptk/libs/beamformer.py): every function is pure,
+batched over arbitrary leading axes, and jit/vmap/shard_map friendly.
+Canonical layouts (F: bins, N: mics, T: frames):
+
+    obs     (..., F, N, T)   complex STFT observations
+    mask    (..., F, T)      real T-F masks
+    covar   (..., F, N, N)   Hermitian PSDs
+    weight  (..., F, N)      beamformer weights
+
+Covariance accumulation is an einsum over T (the MXU-heavy op); the
+per-bin eigen/linear solves are batched over F via ops.linalg.  Online
+(chunked) processing is a lax.scan with EMA covariance carries, matching
+the reference's OnlineSupervisedBeamformer semantics
+(/root/reference/scripts/sptk/libs/beamformer.py:286-320).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from setk_tpu.utils.common import EPSILON
+from setk_tpu.ops.linalg import solve_pevd, hermitianize
+
+__all__ = [
+    "compute_covar", "do_ban", "beamform", "beam_pattern", "rank1_constraint",
+    "ds_weights", "sd_weights", "mvdr_weights", "mpdr_weights", "gevd_weights",
+    "pmwf_weights", "supervised_run", "online_supervised_run", "WEIGHT_FNS"
+]
+
+
+def compute_covar(obs: jax.Array,
+                  mask: jax.Array,
+                  denom_floor: float = 1e-6) -> jax.Array:
+    """Mask-weighted spatial covariance (PSD).
+
+    R[f] = sum_t m[f,t] y[f,t] y[f,t]^H / sum_t m[f,t]
+    Parity: /root/reference/scripts/sptk/libs/beamformer.py:87-103.
+    """
+    denom = jnp.maximum(
+        jnp.sum(mask, axis=-1, keepdims=True)[..., None], denom_floor)
+    covar = jnp.einsum("...nt,...mt->...nm", mask[..., None, :] * obs,
+                       jnp.conj(obs))
+    return covar / denom
+
+
+def beamform(weight: jax.Array, obs: jax.Array) -> jax.Array:
+    """Apply w^H y per bin: (..., F, N) x (..., F, N, T) -> (..., F, T)."""
+    return jnp.einsum("...n,...nt->...t", jnp.conj(weight), obs)
+
+
+def do_ban(weight: jax.Array, rn: jax.Array) -> jax.Array:
+    """Blind Analytic Normalization post-filter.
+
+    Parity: /root/reference/scripts/sptk/libs/beamformer.py:14-28.
+    """
+    num = jnp.einsum("...a,...ab,...bc,...c->...", jnp.conj(weight), rn, rn,
+                     weight)
+    den = jnp.einsum("...a,...ab,...b->...", jnp.conj(weight), rn, weight)
+    filters = jnp.sqrt(jnp.abs(num)) / jnp.maximum(jnp.real(den), EPSILON)
+    return filters[..., None] * weight
+
+
+def beam_pattern(weight: jax.Array, steer_vector: jax.Array) -> jax.Array:
+    """|w^H d| over a steering grid.
+
+    weight (..., F, N); steer_vector (A, F, N) or (F, D, N)-style grids —
+    contraction is over the shared mic axis with broadcasting elsewhere.
+    Returns the reference's F x D response for 2D weights with an
+    F x D x N grid (/root/reference/scripts/sptk/libs/beamformer.py:106-130).
+    """
+    resp = jnp.einsum("fdn,...fn->...fd", steer_vector, jnp.conj(weight))
+    return jnp.abs(resp)
+
+
+def rank1_constraint(rs: jax.Array, rn: jax.Array | None = None) -> jax.Array:
+    """Rank-1 approximation of Rs (optionally GEV-based), trace-rescaled.
+
+    Parity: /root/reference/scripts/sptk/libs/beamformer.py:66-84.
+    """
+    pvec = solve_pevd(rs, rn)
+    if rn is not None:
+        pvec = jnp.einsum("...ab,...b->...a", rn, pvec)
+    appro = jnp.einsum("...a,...b->...ab", pvec, jnp.conj(pvec))
+    scale = (jnp.trace(rs, axis1=-2, axis2=-1) /
+             jnp.maximum(jnp.abs(jnp.trace(appro, axis1=-2, axis2=-1)),
+                         EPSILON))
+    return scale[..., None, None] * appro
+
+
+def fix_steer_phase(steer: jax.Array, ref_channel: int = 0) -> jax.Array:
+    """Rotate each steer vector so its reference-channel entry is
+    real-positive.
+
+    Eigenvector-derived steer vectors carry an arbitrary per-bin phase
+    (solver-dependent); under the distortionless constraint that phase
+    rotates the beamformer output per bin.  Anchoring the phase to a
+    physical reference channel makes the output deterministic — the
+    enhanced signal is the source as observed at that mic.
+    """
+    ref = steer[..., ref_channel]
+    phase = ref / jnp.maximum(jnp.abs(ref), EPSILON)
+    return steer * jnp.conj(phase)[..., None]
+
+
+def _capon(steer: jax.Array, r: jax.Array) -> jax.Array:
+    """w = R^{-1} d / (d^H R^{-1} d) — the distortionless solution."""
+    num = jnp.linalg.solve(r, steer[..., None])[..., 0]
+    den = jnp.einsum("...d,...d->...", jnp.conj(steer), num)
+    return num / den[..., None]
+
+
+def ds_weights(steer: jax.Array, num_mics: int | None = None) -> jax.Array:
+    """Delay-and-sum: normalized steer vector."""
+    n = num_mics if num_mics is not None else steer.shape[-1]
+    return steer / n
+
+
+def sd_weights(steer: jax.Array, diffuse_rn: jax.Array) -> jax.Array:
+    """Superdirective (MVDR against a diffuse-field model)."""
+    return _capon(steer, diffuse_rn)
+
+
+def mvdr_weights(rs: jax.Array, rn: jax.Array) -> jax.Array:
+    """MVDR with steer vector from the principal eigenvector of Rs.
+
+    Parity: /root/reference/scripts/sptk/libs/beamformer.py:515-539 (plus
+    deterministic mic-0 phase anchoring of the steer vector; the reference
+    inherits LAPACK's arbitrary per-bin eigenvector phase).
+    """
+    steer = fix_steer_phase(solve_pevd(rs))
+    return _capon(steer, rn)
+
+
+def mpdr_weights(rs: jax.Array,
+                 ry: jax.Array,
+                 rn: jax.Array | None = None) -> jax.Array:
+    """MPDR: minimum power distortionless response w.r.t. Ry.
+
+    With ``rn`` the steer vector comes from the whitened GEV
+    (Rn * gev-principal-vector), else from Rs's principal eigenvector.
+    Parity: /root/reference/scripts/sptk/libs/beamformer.py:542-590.
+    """
+    if rn is None:
+        steer = solve_pevd(rs)
+    else:
+        gev = solve_pevd(rs, rn)
+        steer = jnp.einsum("...ab,...b->...a", rn, gev)
+    return _capon(fix_steer_phase(steer), ry)
+
+
+def gevd_weights(rs: jax.Array, rn: jax.Array) -> jax.Array:
+    """Max-SNR / GEV beamformer: principal generalized eigenvector.
+
+    Parity: /root/reference/scripts/sptk/libs/beamformer.py:662-682.
+    """
+    return solve_pevd(rs, rn)
+
+
+def pmwf_weights(rs: jax.Array,
+                 rn: jax.Array,
+                 beta: float = 0.0,
+                 ref_channel: int = -1,
+                 rank1_appro: str = "") -> jax.Array:
+    """Parameterized multichannel Wiener filter (Souden).
+
+    w = Rn^{-1} Rs u / (beta + tr(Rn^{-1} Rs)); beta=0 -> MVDR form,
+    beta=1 -> MCWF.  ``ref_channel < 0`` selects the reference channel by
+    the estimated output SNR (argmax over channels, computed batched).
+    Parity: /root/reference/scripts/sptk/libs/beamformer.py:593-659.
+    """
+    if rank1_appro == "eig":
+        rs = rank1_constraint(rs)
+    elif rank1_appro == "gev":
+        rs = rank1_constraint(rs, rn=rn)
+    num = jnp.linalg.solve(rn, rs)  # (..., F, N, N)
+    den = beta + jnp.trace(num, axis1=-2, axis2=-1)
+    weight_mat = num / den[..., None, None]
+    if ref_channel >= 0:
+        return weight_mat[..., ref_channel]
+    # SNR-based reference-channel selection, all channels at once:
+    # snr_c = sum_f w_c^H Rs w_c / sum_f w_c^H Rn w_c
+    wc = jnp.swapaxes(weight_mat, -1, -2)  # (..., F, C, N) rows = channels
+    pow_s = jnp.real(
+        jnp.einsum("...fca,...fab,...fcb->...c", jnp.conj(wc), rs, wc))
+    pow_n = jnp.real(
+        jnp.einsum("...fca,...fab,...fcb->...c", jnp.conj(wc), rn, wc))
+    snr = pow_s / jnp.maximum(pow_n, EPSILON)
+    ref = jnp.argmax(snr, axis=-1)
+    return jnp.take_along_axis(weight_mat,
+                               ref[..., None, None, None],
+                               axis=-1)[..., 0]
+
+
+WEIGHT_FNS = {
+    "mvdr": mvdr_weights,
+    "gevd": gevd_weights,
+    "pmwf-0": partial(pmwf_weights, beta=0.0),
+    "pmwf-1": partial(pmwf_weights, beta=1.0),
+}
+
+
+def supervised_run(beamformer: str,
+                   obs: jax.Array,
+                   mask_s: jax.Array,
+                   mask_n: jax.Array | None = None,
+                   ban: bool = False,
+                   **kwargs) -> jax.Array:
+    """One-shot mask-based beamforming: masks + obs -> enhanced STFT.
+
+    Mirrors SupervisedBeamformer.run / MpdrBeamformer.run
+    (/root/reference/scripts/sptk/libs/beamformer.py:270-283,573-590);
+    masks and obs use the canonical (..., F, T) / (..., F, N, T) layouts.
+    """
+    rs = compute_covar(obs, mask_s)
+    rn = compute_covar(obs, 1 - mask_s if mask_n is None else mask_n)
+    if beamformer in ("mpdr", "mpdr-whiten"):
+        ry = compute_covar(obs, jnp.ones_like(mask_s))
+        weight = mpdr_weights(rs, ry,
+                              rn=rn if beamformer == "mpdr-whiten" else None)
+    elif beamformer in WEIGHT_FNS:
+        weight = WEIGHT_FNS[beamformer](rs, rn, **kwargs)
+    else:
+        raise ValueError(f"Unknown beamformer: {beamformer}")
+    if ban:
+        weight = do_ban(weight, rn)
+    return beamform(weight, obs)
+
+
+def online_supervised_run(beamformer: str,
+                          obs: jax.Array,
+                          mask_s: jax.Array,
+                          mask_n: jax.Array | None = None,
+                          chunk_size: int = 32,
+                          alpha: float = 0.8,
+                          ban: bool = False) -> jax.Array:
+    """Chunked online beamforming with EMA covariance state.
+
+    Splits T into chunks, carries (Rs, Rn) through a lax.scan with
+    R <- alpha R + (1 - alpha) R_chunk (first chunk initializes), and
+    beamforms each chunk with the current weights — semantics of
+    do_online_beamform + OnlineSupervisedBeamformer
+    (/root/reference/scripts/sptk/apply_adaptive_beamformer.py:25-47,
+    libs/beamformer.py:286-320).  T must be a multiple of chunk_size
+    (pad upstream; masks can zero-out pad frames).
+    """
+    if beamformer not in WEIGHT_FNS:
+        raise ValueError(f"Unknown online beamformer: {beamformer}")
+    weight_fn = WEIGHT_FNS[beamformer]
+    *lead, f_bins, n_mics, t_frames = obs.shape
+    if t_frames % chunk_size:
+        raise ValueError(f"T={t_frames} not a multiple of {chunk_size}")
+    n_chunks = t_frames // chunk_size
+    m_n = 1 - mask_s if mask_n is None else mask_n
+
+    # scan over the chunk axis (moved to front)
+    def to_chunks(x):
+        x = x.reshape(*x.shape[:-1], n_chunks, chunk_size)
+        return jnp.moveaxis(x, -2, 0)
+
+    obs_c = to_chunks(obs)          # (C, ..., F, N, Tc)
+    ms_c = to_chunks(mask_s)        # (C, ..., F, Tc)
+    mn_c = to_chunks(m_n)
+
+    covar_shape = (*lead, f_bins, n_mics, n_mics)
+    init = (jnp.zeros(covar_shape, obs.dtype),
+            jnp.zeros(covar_shape, obs.dtype), jnp.asarray(True))
+
+    def step(carry, xs):
+        rs_ema, rn_ema, first = carry
+        obs_k, ms_k, mn_k = xs
+        rs = compute_covar(obs_k, ms_k)
+        rn = compute_covar(obs_k, mn_k)
+        phi = jnp.where(first, 1.0, 1.0 - alpha).astype(jnp.float32)
+        rs_ema = rs_ema * alpha + phi * rs
+        rn_ema = rn_ema * alpha + phi * rn
+        weight = weight_fn(rs_ema, rn_ema)
+        if ban:
+            weight = do_ban(weight, rn)
+        chunk = beamform(weight, obs_k)
+        return (rs_ema, rn_ema, jnp.asarray(False)), chunk
+
+    _, chunks = jax.lax.scan(step, init, (obs_c, ms_c, mn_c))
+    # (C, ..., F, Tc) -> (..., F, T)
+    return jnp.moveaxis(chunks, 0, -2).reshape(*lead, f_bins, t_frames)

@@ -1,0 +1,191 @@
+"""Kaldi binary archive (.ark) codec.
+
+A fresh, vectorized implementation of the raw Kaldi binary matrix/vector
+format the reference toolkit interoperates with
+(/root/reference/scripts/sptk/libs/kaldi_io.py): ``<key> \\0B<token>...``
+records with FM/DM float matrices, FV/DV vectors, CM/CM2/CM3 compressed
+matrices (read-only), and the complex FCM/DCM matrices the C++ layer uses
+(/root/reference/include/complex-matrix.cc:507-568 — token + rows + cols +
+interleaved re/im floats).
+
+Decompression of the CM per-column-header format is fully vectorized
+(single np.where over the uint8 payload), avoiding the reference's noted
+50x slowdown (/root/reference/scripts/sptk/libs/kaldi_io.py:246-247).
+"""
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "read_token", "write_token", "expect_binary", "write_binary_symbol",
+    "read_key", "read_int32", "write_int32", "read_value", "write_value",
+    "read_ark", "read_int32_vec", "read_int32_ali"
+]
+
+
+def read_token(fd):
+    """Read a space-terminated token; None at EOF."""
+    chars = []
+    while True:
+        c = fd.read(1)
+        if c in (b" ", b""):
+            break
+        chars.append(c)
+    if not chars:
+        return None
+    return b"".join(chars).decode().strip()
+
+
+def write_token(fd, token: str):
+    fd.write((token + " ").encode())
+
+
+def expect_binary(fd):
+    flags = fd.read(2)
+    if flags != b"\0B":
+        raise RuntimeError(f"Expect binary flags '\\0B', got {flags}")
+
+
+def write_binary_symbol(fd):
+    fd.write(b"\0B")
+
+
+def read_key(fd):
+    key = read_token(fd)
+    if key:
+        expect_binary(fd)
+    return key
+
+
+def read_int32(fd) -> int:
+    size = fd.read(1)
+    if size != b"\04":
+        raise RuntimeError(f"Expect int32 size byte '\\04', got {size}")
+    return struct.unpack("<i", fd.read(4))[0]
+
+
+def write_int32(fd, value: int):
+    fd.write(b"\04")
+    fd.write(struct.pack("<i", value))
+
+
+def read_float32(fd) -> float:
+    size = fd.read(1)
+    if size != b"\04":
+        raise RuntimeError(f"Expect float size byte '\\04', got {size}")
+    return struct.unpack("<f", fd.read(4))[0]
+
+
+_DENSE = {
+    "FM": (np.float32, 2), "DM": (np.float64, 2),
+    "FV": (np.float32, 1), "DV": (np.float64, 1),
+    # complex matrices (interleaved re/im pairs, C++ CMatrix layout)
+    "FCM": (np.complex64, 2), "DCM": (np.complex128, 2),
+}
+_TOKEN_OF = {
+    (np.dtype(np.float32), 2): "FM", (np.dtype(np.float64), 2): "DM",
+    (np.dtype(np.float32), 1): "FV", (np.dtype(np.float64), 1): "DV",
+    (np.dtype(np.complex64), 2): "FCM", (np.dtype(np.complex128), 2): "DCM",
+}
+
+
+def _read_dense(fd, token):
+    dtype, ndim = _DENSE[token]
+    if ndim == 1:
+        dim = read_int32(fd)
+        return np.frombuffer(fd.read(dtype().itemsize * dim), dtype=dtype)
+    rows = read_int32(fd)
+    cols = read_int32(fd)
+    data = fd.read(dtype().itemsize * rows * cols)
+    return np.frombuffer(data, dtype=dtype).reshape(rows, cols)
+
+
+def _uncompress_cm(payload: bytes, min_val, prange, rows, cols):
+    """Vectorized kOneByteWithColHeaders decompression.
+
+    Each column stores 4 uint16 percentile anchors quantized over
+    [min_val, min_val + prange]; bytes map piecewise-linearly onto the
+    anchor segments with breakpoints 64/192.
+    """
+    head = np.frombuffer(payload[:8 * cols], dtype="<u2").astype(np.float32)
+    pch = head.reshape(cols, 4).T * (prange / 65535.0) + min_val  # 4 x C
+    q = np.frombuffer(payload[8 * cols:], dtype=np.uint8)
+    q = q.reshape(cols, rows).T.astype(np.float32)  # R x C
+    p0, p25, p75, p100 = pch[0], pch[1], pch[2], pch[3]
+    lo = q * (p25 - p0) / 64.0 + p0
+    mid = (q - 64.0) * (p75 - p25) / 128.0 + p25
+    hi = (q - 192.0) * (p100 - p75) / 63.0 + p75
+    return np.where(q <= 64, lo, np.where(q >= 193, hi, mid))
+
+
+def _read_compressed(fd, token):
+    min_val, prange, rows, cols = struct.unpack("<ffii", fd.read(16))
+    if token == "CM":
+        payload = fd.read(cols * (8 + rows))
+        return _uncompress_cm(payload, min_val, prange, rows, cols)
+    if token == "CM2":
+        q = np.frombuffer(fd.read(2 * rows * cols), dtype="<u2")
+        return (min_val +
+                q.reshape(rows, cols).astype(np.float32) * (prange / 65535.0))
+    if token == "CM3":
+        q = np.frombuffer(fd.read(rows * cols), dtype=np.uint8)
+        return (min_val +
+                q.reshape(rows, cols).astype(np.float32) * (prange / 255.0))
+    raise RuntimeError(f"Unknown compressed matrix type: {token}")
+
+
+def read_value(fd, direct_access=False):
+    """Read one matrix/vector value (after the key + binary flag)."""
+    if direct_access:
+        expect_binary(fd)
+    token = read_token(fd)
+    if token in _DENSE:
+        return _read_dense(fd, token)
+    if token in ("CM", "CM2", "CM3"):
+        return _read_compressed(fd, token)
+    raise RuntimeError(f"Unknown kaldi object type: {token}")
+
+
+def write_value(fd, array: np.ndarray):
+    """Write one dense matrix/vector (FM/DM/FV/DV/FCM/DCM)."""
+    if not isinstance(array, np.ndarray):
+        raise TypeError(f"Expected ndarray, got {type(array)}")
+    key = (array.dtype, array.ndim)
+    if key not in _TOKEN_OF:
+        raise TypeError(
+            f"Unsupported dtype/ndim for kaldi ark: {array.dtype}/{array.ndim}")
+    token = _TOKEN_OF[key]
+    write_token(fd, token)
+    if array.ndim == 1:
+        write_int32(fd, array.size)
+    else:
+        write_int32(fd, array.shape[0])
+        write_int32(fd, array.shape[1])
+    fd.write(np.ascontiguousarray(array).tobytes())
+
+
+def read_int32_vec(fd, direct_access=False):
+    if direct_access:
+        expect_binary(fd)
+    size = read_int32(fd)
+    # each element is size-byte + int32
+    raw = np.frombuffer(fd.read(5 * size), dtype=np.uint8)
+    return raw.reshape(size, 5)[:, 1:].copy().view("<i4").reshape(size)
+
+
+def read_ark(fd):
+    """Yield (key, value) over a sequential binary ark stream."""
+    while True:
+        key = read_key(fd)
+        if not key:
+            break
+        yield key, read_value(fd)
+
+
+def read_int32_ali(fd):
+    while True:
+        key = read_key(fd)
+        if not key:
+            break
+        yield key, read_int32_vec(fd)
