@@ -1,0 +1,8 @@
+from setk_tpu.parallel.mesh import make_mesh, factor_devices
+from setk_tpu.parallel.enhance_step import (sharded_enhance_step,
+                                            seq_parallel_covar)
+
+__all__ = [
+    "make_mesh", "factor_devices", "sharded_enhance_step",
+    "seq_parallel_covar"
+]
