@@ -1,0 +1,87 @@
+"""WPE/WPD parity tests against the reference implementation."""
+
+import numpy as np
+
+import reference_oracle as ro
+
+from setk_tpu.enhance.wpe import (compute_tap_mat, compute_lambda, wpe_step,
+                                  wpe, wpd)
+
+
+def _reverb_obs(rng, f=16, n=3, t=60):
+    return (rng.standard_normal((f, n, t)) +
+            1j * rng.standard_normal((f, n, t)))
+
+
+def test_tap_mat_parity(rng):
+    obs = _reverb_obs(rng)
+    ref = ro.ref_wpe.compute_tap_mat(obs, 5, 2)
+    ours = np.asarray(compute_tap_mat(obs.astype(np.complex64), 5, 2))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # degenerate: delay beyond T
+    ref = ro.ref_wpe.compute_tap_mat(obs[..., :4], 3, 5)
+    ours = np.asarray(compute_tap_mat(obs[..., :4].astype(np.complex64), 3, 5))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_lambda_parity(rng):
+    obs = _reverb_obs(rng)
+    for ctx in (0, 1, 3):
+        ref = ro.ref_wpe.compute_lambda(obs, ctx=ctx)
+        ours = np.asarray(compute_lambda(obs.astype(np.complex64),
+                                         context=ctx))
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_wpe_step_parity(rng):
+    obs = _reverb_obs(rng)
+    yt = ro.ref_wpe.compute_tap_mat(obs, 4, 2)
+    lam = ro.ref_wpe.compute_lambda(obs, ctx=1)
+    ref = ro.ref_wpe.wpe_step(obs, yt, lam)
+    ours = np.asarray(
+        wpe_step(obs.astype(np.complex64),
+                 np.asarray(yt).astype(np.complex64),
+                 lam.astype(np.float32)))
+    np.testing.assert_allclose(ours, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_wpe_full_parity(rng):
+    obs = _reverb_obs(rng, f=8, n=2, t=50)
+    ref = ro.ref_wpe.wpe(obs, taps=4, delay=2, context=1, num_iters=3)
+    ours = np.asarray(
+        wpe(obs.astype(np.complex64), taps=4, delay=2, context=1,
+            num_iters=3))
+    np.testing.assert_allclose(ours, ref, atol=5e-2, rtol=5e-2)
+
+
+def test_wpe_decorrelates_late_taps(rng):
+    """WPE's objective: output decorrelated from the delayed observation."""
+    f, n, t = 8, 2, 200
+    dry = (rng.standard_normal((f, 1, t)) +
+           1j * rng.standard_normal((f, 1, t)))
+    a = rng.standard_normal((f, n, 1)) + 1j * rng.standard_normal((f, n, 1))
+    x = a * dry
+    reverb = x.copy()
+    for d in range(3, 10):
+        reverb[..., d:] += 0.8 * (0.8**(d - 3)) * x[..., :t - d]
+    out = np.asarray(wpe(reverb.astype(np.complex64), taps=8, delay=3))
+
+    def late_corr(sig):
+        # correlation of the signal with the delayed observation
+        num = 0.0
+        for d in range(3, 10):
+            c = np.abs(np.sum(sig[..., d:] * np.conj(reverb[..., :t - d])))
+            num += c / (np.linalg.norm(sig[..., d:]) *
+                        np.linalg.norm(reverb[..., :t - d]))
+        return num
+    assert late_corr(out) < 0.6 * late_corr(reverb)
+
+
+def test_wpd_runs_and_enhances(rng):
+    obs = _reverb_obs(rng, f=8, n=3, t=60).astype(np.complex64)
+    mask, enh = wpd(obs, cgmm_iters=3, wpd_iters=2, taps=4, delay=2)
+    assert np.asarray(mask).shape == (8, 60)
+    assert np.asarray(enh).shape == (8, 60)
+    assert np.isfinite(np.asarray(enh)).all()
+    m = np.asarray(mask)
+    assert (m >= 0).all() and (m <= 1 + 1e-5).all()
