@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""WPE dereverberation CLI.
+
+Parity: /root/reference/scripts/sptk/apply_wpe.py (taps/delay/context/
+iters flags; the --nara-wpe switch is moot since our wpe IS the
+vectorized GWPE).
+"""
+
+import argparse
+from functools import lru_cache
+
+import numpy as np
+
+from setk_tpu.cli.common import (StftParser, stft_config_from_args,
+                                 pad_to_bucket)
+from setk_tpu.enhance.wpe import wpe
+from setk_tpu.dsp.stft import inverse_stft
+from setk_tpu.io import SpectrogramReader, WaveWriter
+from setk_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+@lru_cache(maxsize=None)
+def _jit_wpe(taps, delay, context, iters, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    def pipeline(obs, nsamps):
+        der = wpe(obs, taps=taps, delay=delay, context=context,
+                  num_iters=iters)  # F x N x T
+        return inverse_stft(jnp.transpose(der, (1, 2, 0)), cfg,
+                            nsamps=nsamps)
+
+    return jax.jit(pipeline, static_argnames=("nsamps",))
+
+
+def run(args):
+    cfg = stft_config_from_args(args)
+    reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
+    pipeline = _jit_wpe(args.taps, args.delay, args.context, args.num_iters,
+                        cfg)
+    num_done = 0
+    with WaveWriter(args.dst_dir, sr=args.sr) as writer:
+        for key, stft_mat in reader:
+            if stft_mat.ndim == 2:
+                stft_mat = stft_mat[None]
+            obs = stft_mat.transpose(1, 0, 2).astype(np.complex64)
+            obs, _ = pad_to_bucket(obs, axis=-1, bucket=64)
+            nsamps = reader.nsamps(key)
+            samps = np.asarray(pipeline(obs, nsamps))  # N x S
+            writer.write(key, samps)
+            num_done += 1
+            if num_done % 100 == 0:
+                logger.info(f"Processed {num_done} utterances...")
+    logger.info(f"Processed {num_done} utterances over {len(reader)}")
+
+
+def make_parser():
+    parser = argparse.ArgumentParser(
+        description="WPE dereverberation",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        parents=[StftParser.parser])
+    parser.add_argument("wav_scp", help="Multi-channel wave scripts")
+    parser.add_argument("dst_dir", help="Output directory")
+    parser.add_argument("--taps", type=int, default=10)
+    parser.add_argument("--delay", type=int, default=3)
+    parser.add_argument("--context", type=int, default=1)
+    parser.add_argument("--num-iters", type=int, default=3)
+    parser.add_argument("--sr", type=int, default=16000)
+    return parser
+
+
+if __name__ == "__main__":
+    run(make_parser().parse_args())

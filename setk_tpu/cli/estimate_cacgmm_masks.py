@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Unsupervised CACGMM mask estimation.
+
+Parity: /root/reference/scripts/sptk/estimate_cacgmm_masks.py
+(--cgmm-init, --update-alpha, permutation solving, resume-by-skip).
+"""
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from setk_tpu.cli.common import StftParser, stft_config_from_args, strtobool
+from setk_tpu.enhance.cluster import cacgmm_em, permu_aligner
+from setk_tpu.io import SpectrogramReader, NumpyWriter
+from setk_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def run(args):
+    cfg = stft_config_from_args(args)
+    reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
+    import jax
+    num_done = 0
+    with NumpyWriter(args.dst_dir, args.scp) as writer:
+        dst_dir = Path(args.dst_dir)
+        for key, stft_mat in reader:
+            if not args.force and (dst_dir / f"{key}.npy").exists():
+                logger.info(f"Skip existing {key}.npy...")
+                continue
+            obs = stft_mat.transpose(1, 0, 2).astype(np.complex64)
+            gamma, q_hist = cacgmm_em(obs, args.num_classes,
+                                      num_iters=args.num_iters,
+                                      cgmm_init=args.cgmm_init,
+                                      update_alpha=args.update_alpha,
+                                      key=jax.random.PRNGKey(args.seed))
+            for i, q in enumerate(np.asarray(q_hist)):
+                logger.info(f"{key}: iter {i + 1:2d}/{args.num_iters}: "
+                            f"Q = {q:.4f}")
+            masks = np.asarray(gamma).transpose(0, 2, 1)  # K x T x F
+            if args.solve_permu:
+                masks = permu_aligner(masks)
+            writer.write(key, masks.astype(np.float32))
+            num_done += 1
+    logger.info(f"Processed {num_done} utterances")
+
+
+def make_parser():
+    parser = argparse.ArgumentParser(
+        description="Estimate T-F masks via CACGMM spatial clustering",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        parents=[StftParser.parser])
+    parser.add_argument("wav_scp", help="Multi-channel wave scripts")
+    parser.add_argument("dst_dir", help="Output directory for .npy masks")
+    parser.add_argument("--scp", default="", help="Also emit an index scp")
+    parser.add_argument("--num-classes", type=int, default=2)
+    parser.add_argument("--num-iters", type=int, default=20)
+    parser.add_argument("--cgmm-init", type=strtobool, default=False)
+    parser.add_argument("--update-alpha", type=strtobool, default=True)
+    parser.add_argument("--solve-permu", type=strtobool, default=True)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--force", type=strtobool, default=False)
+    return parser
+
+
+if __name__ == "__main__":
+    run(make_parser().parse_args())

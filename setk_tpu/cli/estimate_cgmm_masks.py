@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Unsupervised CGMM mask estimation.
+
+Parity: /root/reference/scripts/sptk/estimate_cgmm_masks.py (seeded init,
+optional init mask, resume-by-skip when the .npy exists).
+"""
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from setk_tpu.cli.common import StftParser, stft_config_from_args, strtobool
+from setk_tpu.enhance.cluster import cgmm_em, permu_aligner
+from setk_tpu.io import SpectrogramReader, NumpyWriter, ScriptReader
+from setk_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def run(args):
+    cfg = stft_config_from_args(args)
+    reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
+    init_reader = ScriptReader(args.init_mask) if args.init_mask else None
+    import jax
+    num_done = 0
+    with NumpyWriter(args.dst_dir, args.scp) as writer:
+        dst_dir = Path(args.dst_dir)
+        for key, stft_mat in reader:
+            if not args.force and (dst_dir / f"{key}.npy").exists():
+                logger.info(f"Skip existing {key}.npy...")
+                continue
+            # N x F x T -> F x N x T
+            obs = stft_mat.transpose(1, 0, 2).astype(np.complex64)
+            gamma_init = None
+            if init_reader is not None and key in init_reader:
+                init = np.asarray(init_reader[key])  # T x F
+                init = np.stack([init.T, 1 - init.T])  # K x F x T
+                gamma_init = init.astype(np.float32)
+            gamma, q_hist = cgmm_em(obs, args.num_classes,
+                                    num_iters=args.num_iters,
+                                    gamma_init=gamma_init,
+                                    update_alpha=args.update_alpha,
+                                    key=jax.random.PRNGKey(args.seed))
+            for i, q in enumerate(np.asarray(q_hist)):
+                logger.info(f"{key}: iter {i + 1:2d}/{args.num_iters}: "
+                            f"Q = {q:.4f}")
+            gamma = np.asarray(gamma)  # K x F x T
+            masks = gamma.transpose(0, 2, 1)  # K x T x F
+            if args.solve_permu and args.num_classes > 2:
+                masks = permu_aligner(masks)
+            if args.num_classes == 2:
+                # speech class (sample-covariance init) comes first
+                writer.write(key, masks[0].astype(np.float32))
+            else:
+                writer.write(key, masks.astype(np.float32))
+            num_done += 1
+    logger.info(f"Processed {num_done} utterances")
+
+
+def make_parser():
+    parser = argparse.ArgumentParser(
+        description="Estimate T-F masks via CGMM spatial clustering",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        parents=[StftParser.parser])
+    parser.add_argument("wav_scp", help="Multi-channel wave scripts")
+    parser.add_argument("dst_dir", help="Output directory for .npy masks")
+    parser.add_argument("--scp", default="", help="Also emit an index scp")
+    parser.add_argument("--num-classes", type=int, default=2)
+    parser.add_argument("--num-iters", type=int, default=20)
+    parser.add_argument("--init-mask", default="",
+                        help="Initial speech masks (kaldi scp)")
+    parser.add_argument("--update-alpha", type=strtobool, default=False)
+    parser.add_argument("--solve-permu", type=strtobool, default=True)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--force", type=strtobool, default=False,
+                        help="Recompute even if output exists")
+    return parser
+
+
+if __name__ == "__main__":
+    run(make_parser().parse_args())
