@@ -18,7 +18,7 @@ from setk_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
-def run(args):
+def _run(args):
     cfg = stft_config_from_args(args)
     reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
     mask_writer = NumpyWriter(args.mask_dir) if args.mask_dir else None
@@ -42,6 +42,13 @@ def run(args):
     if mask_writer:
         mask_writer.__exit__()
     logger.info(f"Processed {num_done} utterances over {len(reader)}")
+
+
+def run(args):
+    from setk_tpu.utils.hostdev import on_host
+    # eager utterance-loop command: pin compute to host CPU
+    with on_host():
+        _run(args)
 
 
 def make_parser():

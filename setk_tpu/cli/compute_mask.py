@@ -17,7 +17,7 @@ from setk_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
-def run(args):
+def _run(args):
     cfg = stft_config_from_args(args)
     clean_reader = SpectrogramReader(args.clean_scp, cfg=cfg)
     noisy_reader = SpectrogramReader(args.noisy_scp, cfg=cfg)
@@ -48,6 +48,13 @@ def run(args):
             writer.write(key, mask.astype(np.float32))
             num_utts += 1
     logger.info(f"Processed {num_utts} utterances")
+
+
+def run(args):
+    from setk_tpu.utils.hostdev import on_host
+    # eager utterance-loop command: pin compute to host CPU
+    with on_host():
+        _run(args)
 
 
 def make_parser():

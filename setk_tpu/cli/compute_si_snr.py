@@ -16,7 +16,7 @@ from setk_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
-def run(args):
+def _run(args):
     single = "," not in args.est_scp
     if single:
         est_readers = [WaveReader(args.est_scp, sr=None)]
@@ -56,6 +56,13 @@ def run(args):
                     f"over {len(scores)} utterances")
     total = [s for v in reports.values() for s in v]
     print(f"Si-SNR: {np.mean(total):.3f} dB over {len(total)} utterances")
+
+
+def run(args):
+    from setk_tpu.utils.hostdev import on_host
+    # eager utterance-loop command: pin compute to host CPU
+    with on_host():
+        _run(args)
 
 
 def make_parser():

@@ -18,7 +18,7 @@ from setk_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
-def run(args):
+def _run(args):
     cfg = stft_config_from_args(args)
     reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
     init_reader = ScriptReader(args.init_mask) if args.init_mask else None
@@ -56,6 +56,13 @@ def run(args):
                 writer.write(key, masks.astype(np.float32))
             num_done += 1
     logger.info(f"Processed {num_done} utterances")
+
+
+def run(args):
+    from setk_tpu.utils.hostdev import on_host
+    # eager utterance-loop command: pin compute to host CPU
+    with on_host():
+        _run(args)
 
 
 def make_parser():

@@ -18,7 +18,7 @@ from setk_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
-def run(args):
+def _run(args):
     cfg = stft_config_from_args(args)
     feat_reader = ScriptReader(args.feat_scp)
     phase_reader = None
@@ -46,6 +46,13 @@ def run(args):
             writer.write(key, samps)
             num_done += 1
     logger.info(f"Processed {num_done} utterances")
+
+
+def run(args):
+    from setk_tpu.utils.hostdev import on_host
+    # eager utterance-loop command: pin compute to host CPU
+    with on_host():
+        _run(args)
 
 
 def make_parser():

@@ -17,7 +17,7 @@ from setk_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
-def run(args):
+def _run(args):
     cfg = stft_config_from_args(args)
     reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
     mask_reader = MaskReader(args.fmt, args.mask_scp)
@@ -52,6 +52,13 @@ def run(args):
             writer.write(key, samps)
             num_done += 1
     logger.info(f"Processed {num_done} utterances over {len(reader)}")
+
+
+def run(args):
+    from setk_tpu.utils.hostdev import on_host
+    # eager utterance-loop command: pin compute to host CPU
+    with on_host():
+        _run(args)
 
 
 def make_parser():

@@ -226,8 +226,12 @@ class SpectrogramReader(WaveReader):
 
     def _load(self, key):
         from setk_tpu.dsp.stft import forward_stft
+        from setk_tpu.utils.hostdev import on_host
         samps = self.read(key)
-        spec = np.asarray(forward_stft(samps, self.cfg, **self.post))
+        # IO-level STFT runs on host CPU: per-utterance eager dispatch on
+        # an accelerator (with remote compile) would dominate runtime
+        with on_host():
+            spec = np.asarray(forward_stft(samps, self.cfg, **self.post))
         if not self.transpose:
             spec = np.swapaxes(spec, -1, -2)
         return spec

@@ -1,0 +1,139 @@
+"""Batched, bucketed, data-parallel utterance execution.
+
+The reference scales by splitting .scp manifests into N shards and
+launching N processes (utils/split_scp.pl + run.pl/queue.pl — SURVEY.md
+§2.3).  The TPU-native equivalent:
+
+  * ``shard_manifest`` — deterministic manifest sharding across hosts
+    (each process handles its own shard; multi-host via jax.distributed).
+  * ``LengthBucketer`` — group utterances into padded shape buckets so a
+    handful of compiled programs serve the whole corpus.
+  * ``BatchEnhancer`` — assemble (B, N, S) batches + (B, T, F) masks,
+    run the jitted enhancement pipeline per bucket, data-parallel over
+    the mesh's ``data`` axis via NamedSharding, and return per-utterance
+    trimmed waveforms.
+"""
+
+from collections import defaultdict
+from functools import lru_cache
+
+import numpy as np
+
+from setk_tpu.dsp.stft import StftConfig, num_frames
+from setk_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+__all__ = ["shard_manifest", "LengthBucketer", "BatchEnhancer"]
+
+
+def shard_manifest(keys, num_shards: int, shard_index: int):
+    """Deterministic contiguous sharding of a key list (split_scp.pl)."""
+    if not 0 <= shard_index < num_shards:
+        raise ValueError(f"Bad shard {shard_index}/{num_shards}")
+    keys = list(keys)
+    base, extra = divmod(len(keys), num_shards)
+    beg = shard_index * base + min(shard_index, extra)
+    end = beg + base + (1 if shard_index < extra else 0)
+    return keys[beg:end]
+
+
+class LengthBucketer:
+    """Round sample lengths up to hop-aligned buckets."""
+
+    def __init__(self, cfg: StftConfig, samples_per_bucket: int = 16384):
+        self.cfg = cfg
+        self.step = samples_per_bucket
+
+    def bucket(self, nsamps: int) -> int:
+        b = -(-nsamps // self.step) * self.step
+        # keep hop alignment so padded frames are complete
+        hop = self.cfg.frame_hop
+        return -(-b // hop) * hop
+
+
+class BatchEnhancer:
+    """Mask-based beamforming over batches of utterances.
+
+    Feed (key, wav (N, S), mask (T, F)) triples; batches of equal bucket
+    shape are flushed through one jitted program.  With a Mesh, inputs
+    are sharded over the ``data`` axis (pure data parallelism — the jit
+    partitioner keeps everything local per shard).
+    """
+
+    def __init__(self,
+                 cfg: StftConfig,
+                 beamformer: str = "mvdr",
+                 batch_size: int = 8,
+                 mesh=None,
+                 ban: bool = False,
+                 samples_per_bucket: int = 16384):
+        self.cfg = cfg
+        self.beamformer = beamformer
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.ban = ban
+        self.bucketer = LengthBucketer(cfg, samples_per_bucket)
+        self._pending = defaultdict(list)
+
+    @lru_cache(maxsize=None)
+    def _fn(self, nsamps):
+        import jax
+        from setk_tpu.parallel.enhance_step import enhance_batch
+
+        def fn(wav, mask):
+            return enhance_batch(wav, mask, self.cfg,
+                                 beamformer=self.beamformer, ban=self.ban,
+                                 nsamps=nsamps)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P("data"))
+            return jax.jit(fn, in_shardings=(sharding, sharding),
+                           out_shardings=sharding)
+        return jax.jit(fn)
+
+    def _data_multiple(self):
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape.get("data", 1))
+
+    def add(self, key, wav: np.ndarray, mask: np.ndarray):
+        """Queue one utterance; returns flushed results (possibly [])."""
+        n_ch, nsamps = wav.shape
+        bucket = self.bucketer.bucket(nsamps)
+        self._pending[(n_ch, bucket)].append((key, wav, mask))
+        if len(self._pending[(n_ch, bucket)]) >= self.batch_size:
+            return self._flush_bucket((n_ch, bucket))
+        return []
+
+    def flush(self):
+        """Flush all remaining partial batches."""
+        out = []
+        for shape in list(self._pending):
+            out.extend(self._flush_bucket(shape))
+        return out
+
+    def _flush_bucket(self, shape):
+        import jax
+        items = self._pending.pop(shape, [])
+        if not items:
+            return []
+        n_ch, bucket = shape
+        t_pad = num_frames(bucket, self.cfg)
+        f_bins = self.cfg.num_bins
+        batch = len(items)
+        # pad batch to a multiple of the data axis
+        mult = self._data_multiple()
+        full = -(-batch // mult) * mult
+        wavs = np.zeros((full, n_ch, bucket), dtype=np.float32)
+        masks = np.zeros((full, t_pad, f_bins), dtype=np.float32)
+        lengths = []
+        for i, (key, wav, mask) in enumerate(items):
+            s = wav.shape[-1]
+            wavs[i, :, :s] = wav
+            t = min(mask.shape[0], t_pad)
+            masks[i, :t, :] = mask[:t]
+            lengths.append((key, s))
+        out = np.asarray(self._fn(bucket)(wavs, masks))
+        return [(key, out[i, :s]) for i, (key, s) in enumerate(lengths)]

@@ -1,0 +1,77 @@
+"""Batch executor tests: bucketing, manifest sharding, mesh execution."""
+
+import numpy as np
+
+from setk_tpu.dsp import StftConfig, forward_stft
+from setk_tpu.parallel import make_mesh
+from setk_tpu.parallel.executor import (shard_manifest, LengthBucketer,
+                                        BatchEnhancer)
+
+
+def test_shard_manifest():
+    keys = [f"u{i}" for i in range(10)]
+    shards = [shard_manifest(keys, 3, i) for i in range(3)]
+    assert sum(len(s) for s in shards) == 10
+    assert sorted(sum(shards, [])) == sorted(keys)
+    # deterministic
+    assert shard_manifest(keys, 3, 1) == shards[1]
+
+
+def test_bucketer():
+    cfg = StftConfig()
+    b = LengthBucketer(cfg, samples_per_bucket=16384)
+    assert b.bucket(10) == 16384
+    assert b.bucket(16384) == 16384
+    assert b.bucket(16385) == 32768
+    assert b.bucket(16384) % cfg.frame_hop == 0
+
+
+def _utterance(rng, nsamps, n=4):
+    cfg = StftConfig()
+    clean = rng.standard_normal(nsamps).astype(np.float32) * 0.2
+    wav = (np.stack([clean] * n) +
+           rng.standard_normal((n, nsamps)).astype(np.float32) * 0.05)
+    spec = np.asarray(forward_stft(wav[0], cfg))
+    mask = (np.abs(spec) / (np.abs(spec) + 0.05)).astype(np.float32)
+    return wav, mask, clean
+
+
+def test_batch_enhancer_varied_lengths(rng):
+    cfg = StftConfig()
+    enh = BatchEnhancer(cfg, batch_size=2, samples_per_bucket=8192)
+    results = {}
+    lengths = [8000, 8192, 12000, 9000, 16384]
+    cleans = {}
+    for i, n in enumerate(lengths):
+        wav, mask, clean = _utterance(rng, n)
+        key = f"u{i}"
+        cleans[key] = clean
+        for k, out in enh.add(key, wav, mask):
+            results[k] = out
+    for k, out in enh.flush():
+        results[k] = out
+    assert set(results) == {f"u{i}" for i in range(len(lengths))}
+    for i, n in enumerate(lengths):
+        out = results[f"u{i}"]
+        assert out.shape == (n,)
+        # enhancement actually helps
+        c = cleans[f"u{i}"]
+        corr = np.corrcoef(out, c)[0, 1]
+        assert corr > 0.9
+
+
+def test_batch_enhancer_with_mesh(rng):
+    cfg = StftConfig()
+    mesh = make_mesh(8, axis_sizes=(8, 1, 1))
+    enh = BatchEnhancer(cfg, batch_size=4, mesh=mesh,
+                        samples_per_bucket=8192)
+    results = {}
+    for i in range(5):
+        wav, mask, clean = _utterance(rng, 8000)
+        for k, out in enh.add(f"u{i}", wav, mask):
+            results[k] = out
+    for k, out in enh.flush():
+        results[k] = out
+    assert len(results) == 5
+    for out in results.values():
+        assert np.isfinite(out).all()
