@@ -3,16 +3,18 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The pipeline (per BASELINE.json headline config): (B, 6, S) waveforms +
-(B, T, F) masks -> STFT -> mask-weighted Rs/Rn -> MVDR solve per bin ->
-beamform -> iSTFT, fully jitted; we time cached executions (compile
-excluded, as the deployment steady state).
+Pipeline (BASELINE.json headline config): (B, 6, S) waveforms + (B, T, F)
+masks -> STFT -> mask-weighted Rs/Rn (VPU pair-loop covariance) ->
+MVDR solve per bin (power-iteration steering + Cholesky Capon solve) ->
+beamform -> iSTFT, one fused jit program.
 
-vs_baseline compares against the reference's per-utterance NumPy path
-measured on this host's CPU (the reference publishes no numbers —
-BASELINE.md).  The reference implementation is imported from
-/root/reference when present; otherwise a recorded constant from a prior
-measurement on this machine is used.
+Timing methodology: on this TPU's remote runtime, async dispatch makes
+naive block_until_ready timing unreliable, so iterations are *chained*
+(each call consumes the previous output) and the chain is forced by a
+scalar reduction to host; compile time is excluded.
+
+vs_baseline compares against the reference's per-utterance NumPy path on
+this host's CPU (the reference publishes no numbers — BASELINE.md).
 """
 
 import json
@@ -21,12 +23,12 @@ import time
 
 import numpy as np
 
-B, N, SECS, SR = 8, 6, 4, 16000
+B, N, SECS, SR = 32, 6, 4, 16000
 S = SECS * SR
+ITERS = 20
 
-# reference CPU throughput (audio-seconds/s) measured on this host; used
-# when /root/reference is unavailable at bench time
-FALLBACK_BASELINE_AS_PER_S = 29.5  # measured 2026-08-17 on this host
+# reference CPU throughput (audio-seconds/s) measured on this host
+FALLBACK_BASELINE_AS_PER_S = 29.5  # measured 2026-08-17
 
 
 def _inputs():
@@ -43,35 +45,45 @@ def _inputs():
 
 def measure_tpu():
     import jax
-    from setk_tpu.parallel.enhance_step import enhance_batch
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import forward_stft, inverse_stft
+    from setk_tpu.enhance import beamformer as bf
     cfg, wav, mask = _inputs()
-    fn = jax.jit(lambda w, m: enhance_batch(w, m, cfg, beamformer="mvdr"))
+
+    @jax.jit
+    def step(w, m):
+        spec = forward_stft(w, cfg)
+        obs = jnp.transpose(spec, (0, 3, 1, 2))
+        mk = jnp.transpose(m, (0, 2, 1))
+        rs = bf.compute_covar(obs, mk)
+        rn = bf.compute_covar(obs, 1 - mk)
+        wt = bf.mvdr_weights(rs, rn, steer="power")
+        enh = bf.beamform(wt, obs)
+        out = inverse_stft(jnp.swapaxes(enh, -1, -2), cfg, nsamps=S)
+        # chain: feed the output back so iterations serialize on device
+        return w * 0.999 + out[:, None, :] * 1e-6
+
     wav_d, mask_d = jax.device_put(wav), jax.device_put(mask)
-    fn(wav_d, mask_d).block_until_ready()  # compile
-    # timed cached runs
-    iters = 10
+    w = step(wav_d, mask_d)
+    float(jnp.sum(jnp.abs(w)))  # force compile + first execution
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(wav_d, mask_d)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(ITERS):
+        w = step(w, mask_d)
+    float(jnp.sum(jnp.abs(w)))  # force the whole chain
+    dt = (time.perf_counter() - t0) / ITERS
     return (B * SECS) / dt
 
 
-def measure_reference_cpu(max_seconds=120.0):
+def measure_reference_cpu(max_seconds=60.0):
     """Reference (funcwj/setk) NumPy MVDR path on one CPU core."""
     sys.path.insert(0, "/root/repo/tests")
     import reference_oracle as ro
-    from setk_tpu.dsp.stft import StftConfig
-    from setk_tpu.dsp import forward_stft, inverse_stft
+    from setk_tpu.dsp.stft import forward_stft, inverse_stft
+    from setk_tpu.utils.hostdev import on_host
     import jax
     cfg, wav, mask = _inputs()
-    # per-utterance loop exactly like apply_adaptive_beamformer.py
     mvdr = ro.ref_beamformer.MvdrBeamformer(cfg.num_bins)
-    # host STFT via our CPU jax (librosa missing); excluded from timing
-    # would favor us — include it to mirror the reference's real cost
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    with on_host():
         done = 0
         t0 = time.perf_counter()
         for b in range(B):

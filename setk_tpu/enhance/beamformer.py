@@ -23,13 +23,48 @@ import jax
 import jax.numpy as jnp
 
 from setk_tpu.utils.common import EPSILON
-from setk_tpu.ops.linalg import solve_pevd, hermitianize
+from setk_tpu.ops.linalg import solve_pevd, hermitianize, hermitian_solve
 
 __all__ = [
     "compute_covar", "do_ban", "beamform", "beam_pattern", "rank1_constraint",
     "ds_weights", "sd_weights", "mvdr_weights", "mpdr_weights", "gevd_weights",
     "pmwf_weights", "supervised_run", "online_supervised_run", "WEIGHT_FNS"
 ]
+
+
+def covar_stats(obs: jax.Array, mask: jax.Array):
+    """Unnormalized covariance sufficient statistics (num, den).
+
+    num[..., n, m] = sum_t m[..., t] y_n y*_m ; den = sum_t m.  The
+    building block for both one-shot covariances and the psum-reduced
+    sequence-parallel path.
+
+    For small mic counts an einsum here lowers to a batched matmul whose
+    N x N output pads the MXU to ~0.2% utilization; the statically
+    unrolled pair loop (elementwise multiply + T-reduction per unique
+    (n, m) pair, Hermitian fill) runs on the VPU instead — measured
+    ~20x faster on TPU.
+    """
+    n = obs.shape[-2]
+    den = jnp.sum(mask, axis=-1)
+    if n > 8:
+        num = jnp.einsum("...nt,...mt->...nm", mask[..., None, :] * obs,
+                         jnp.conj(obs))
+        return num, den
+    mobs = mask[..., None, :] * obs
+    rows = []
+    for a in range(n):
+        cols = []
+        for b in range(n):
+            if b < a:
+                cols.append(jnp.conj(rows[b][a]))
+            else:
+                cols.append(
+                    jnp.sum(mobs[..., a, :] * jnp.conj(obs[..., b, :]),
+                            axis=-1))
+        rows.append(cols)
+    num = jnp.stack([jnp.stack(c, axis=-1) for c in rows], axis=-2)
+    return num, den
 
 
 def compute_covar(obs: jax.Array,
@@ -40,16 +75,17 @@ def compute_covar(obs: jax.Array,
     R[f] = sum_t m[f,t] y[f,t] y[f,t]^H / sum_t m[f,t]
     Parity: /root/reference/scripts/sptk/libs/beamformer.py:87-103.
     """
-    denom = jnp.maximum(
-        jnp.sum(mask, axis=-1, keepdims=True)[..., None], denom_floor)
-    covar = jnp.einsum("...nt,...mt->...nm", mask[..., None, :] * obs,
-                       jnp.conj(obs))
-    return covar / denom
+    num, den = covar_stats(obs, mask)
+    return num / jnp.maximum(den, denom_floor)[..., None, None]
 
 
 def beamform(weight: jax.Array, obs: jax.Array) -> jax.Array:
-    """Apply w^H y per bin: (..., F, N) x (..., F, N, T) -> (..., F, T)."""
-    return jnp.einsum("...n,...nt->...t", jnp.conj(weight), obs)
+    """Apply w^H y per bin: (..., F, N) x (..., F, N, T) -> (..., F, T).
+
+    Written as an explicit broadcast-multiply + N-reduction (VPU) rather
+    than an einsum that would lower to a K=N matmul (~10x slower).
+    """
+    return jnp.sum(jnp.conj(weight)[..., None] * obs, axis=-2)
 
 
 def do_ban(weight: jax.Array, rn: jax.Array) -> jax.Array:
@@ -108,8 +144,8 @@ def fix_steer_phase(steer: jax.Array, ref_channel: int = 0) -> jax.Array:
 
 def _capon(steer: jax.Array, r: jax.Array) -> jax.Array:
     """w = R^{-1} d / (d^H R^{-1} d) — the distortionless solution."""
-    num = jnp.linalg.solve(r, steer[..., None])[..., 0]
-    den = jnp.einsum("...d,...d->...", jnp.conj(steer), num)
+    num = hermitian_solve(r, steer)
+    den = jnp.sum(jnp.conj(steer) * num, axis=-1)
     return num / den[..., None]
 
 
@@ -124,15 +160,26 @@ def sd_weights(steer: jax.Array, diffuse_rn: jax.Array) -> jax.Array:
     return _capon(steer, diffuse_rn)
 
 
-def mvdr_weights(rs: jax.Array, rn: jax.Array) -> jax.Array:
+def mvdr_weights(rs: jax.Array, rn: jax.Array,
+                 steer: str = "eigh",
+                 power_iters: int = 15) -> jax.Array:
     """MVDR with steer vector from the principal eigenvector of Rs.
 
     Parity: /root/reference/scripts/sptk/libs/beamformer.py:515-539 (plus
     deterministic mic-0 phase anchoring of the steer vector; the reference
     inherits LAPACK's arbitrary per-bin eigenvector phase).
+
+    ``steer="power"`` swaps the full eigendecomposition for fixed-count
+    power iteration — speech PSDs are rank-1 dominated, and the batched
+    matvecs run on the VPU at a fraction of eigh's cost (the production
+    fast path; "eigh" is the reference-exact default).
     """
-    steer = fix_steer_phase(solve_pevd(rs))
-    return _capon(steer, rn)
+    if steer == "power":
+        from setk_tpu.ops.linalg import power_iteration
+        vec = power_iteration(hermitianize(rs), num_iters=power_iters)
+    else:
+        vec = solve_pevd(rs)
+    return _capon(fix_steer_phase(vec), rn)
 
 
 def mpdr_weights(rs: jax.Array,
@@ -176,7 +223,7 @@ def pmwf_weights(rs: jax.Array,
         rs = rank1_constraint(rs)
     elif rank1_appro == "gev":
         rs = rank1_constraint(rs, rn=rn)
-    num = jnp.linalg.solve(rn, rs)  # (..., F, N, N)
+    num = hermitian_solve(rn, rs)  # (..., F, N, N)
     den = beta + jnp.trace(num, axis1=-2, axis2=-1)
     weight_mat = num / den[..., None, None]
     if ref_channel >= 0:

@@ -46,9 +46,14 @@ def _posterior(log_pdf, alpha):
 
 def _weighted_covar(obs, weight):
     """R = sum_t w[k,...,t] z[...,t] z[...,t]^H — shared EM covariance
-    update: obs (..., F, M, T) + weight (K, ..., F, T) -> (K, ..., F, M, M)."""
-    return jnp.einsum("k...t,...xt,...yt->k...xy", weight, obs,
-                      jnp.conj(obs))
+    update: obs (..., F, M, T) + weight (K, ..., F, T) -> (K, ..., F, M, M).
+
+    Routed through the VPU pair-loop formulation (beamformer.covar_stats)
+    rather than an einsum that lowers to MXU-hostile tiny matmuls.
+    """
+    from setk_tpu.enhance.beamformer import covar_stats
+    num, _ = covar_stats(obs[None], weight)
+    return num
 
 
 # --------------------------------------------------------------------------

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from setk_tpu.utils.common import EPSILON
 from setk_tpu.enhance import beamformer as bf
 from setk_tpu.enhance.cluster import cgmm_em
-from setk_tpu.ops.linalg import solve_pevd
+from setk_tpu.ops.linalg import solve_pevd, hermitian_solve
 
 __all__ = ["compute_tap_mat", "compute_lambda", "wpe_step", "wpe", "wpd"]
 
@@ -69,7 +69,7 @@ def wpe_step(reverb: jax.Array, taps_mat: jax.Array,
     yn = taps_mat / lambda_[..., None, :]
     corr = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(taps_mat))
     cross = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(reverb))
-    filt = jnp.linalg.solve(corr, cross)  # (..., F, NK, N)
+    filt = hermitian_solve(corr, cross)  # (..., F, NK, N)
     return reverb - jnp.einsum("...na,...nb->...ab", jnp.conj(filt), taps_mat)
 
 
@@ -124,7 +124,7 @@ def wpd(obs: jax.Array,
                         jnp.conj(der)) / t
         rs = bf.compute_covar(der, tf_mask)
         steer = bf.fix_steer_phase(solve_pevd(rs))
-        num = jnp.linalg.solve(rd, steer[..., None])[..., 0]
+        num = hermitian_solve(rd, steer)
         den = jnp.einsum("...d,...d->...", jnp.conj(steer), num)
         weight = num / den[..., None]
         enhanced = jnp.einsum("...n,...nt->...t", jnp.conj(weight), der)

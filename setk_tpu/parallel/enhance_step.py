@@ -55,9 +55,7 @@ def seq_parallel_covar(mesh: Mesh, obs: jax.Array,
     """
 
     def local(obs_l, mask_l):
-        num = jnp.einsum("...nt,...mt->...nm", mask_l[..., None, :] * obs_l,
-                         jnp.conj(obs_l))
-        den = jnp.sum(mask_l, axis=-1)
+        num, den = bf.covar_stats(obs_l, mask_l)
         num = jax.lax.psum(num, "seq")
         den = jax.lax.psum(den, "seq")
         return num / jnp.maximum(den, 1e-6)[..., None, None]
@@ -85,9 +83,7 @@ def sharded_enhance_step(mesh: Mesh,
     def local_step(obs_l, mask_l):
         # --- sequence-parallel covariance (psum over frame shards) ---
         def psum_covar(m):
-            num = jnp.einsum("...nt,...mt->...nm", m[..., None, :] * obs_l,
-                             jnp.conj(obs_l))
-            den = jnp.sum(m, axis=-1)
+            num, den = bf.covar_stats(obs_l, m)
             num = jax.lax.psum(num, "seq")
             den = jax.lax.psum(den, "seq")
             return num / jnp.maximum(den, 1e-6)[..., None, None]

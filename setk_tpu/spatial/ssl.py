@@ -89,7 +89,8 @@ def music_ssl(stft: jax.Array,
         mask = jnp.ones((t, f))
     obs = jnp.transpose(stft * mask, (2, 0, 1))  # F x M x T
     covar = jnp.einsum("...at,...bt->...ab", obs, jnp.conj(obs)) / t
-    _, vecs = jnp.linalg.eigh(covar)
+    from setk_tpu.ops.linalg import eigh as _eigh
+    _, vecs = _eigh(covar)
     noise_sub = vecs[..., :-1]
     noise_covar = jnp.einsum("...at,...bt->...ab", noise_sub,
                              jnp.conj(noise_sub))

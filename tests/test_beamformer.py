@@ -164,6 +164,23 @@ def test_ds_sd_beamformer_parity(rng):
     np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
 
 
+def test_mvdr_power_steer_equivalent(rng):
+    """Power-iteration steering matches eigh steering (fast path)."""
+    obs, mask = _synth_obs(rng)
+    obs = obs.astype(np.complex64)
+    mask = mask.astype(np.float32)
+    rs = np.asarray(bf.compute_covar(obs, mask))
+    rn = np.asarray(bf.compute_covar(obs, 1 - mask))
+    w_eigh = np.asarray(bf.mvdr_weights(rs, rn, steer="eigh"))
+    w_pow = np.asarray(bf.mvdr_weights(rs, rn, steer="power",
+                                       power_iters=30))
+    out_e = np.asarray(bf.beamform(w_eigh, obs))
+    out_p = np.asarray(bf.beamform(w_pow, obs))
+    # same beamformed output up to fp noise (rank-1-dominated Rs)
+    rel = np.linalg.norm(out_e - out_p) / np.linalg.norm(out_e)
+    assert rel < 1e-2
+
+
 def test_online_matches_offline_last_chunk_shape(rng):
     obs, mask = _synth_obs(rng, n=3, f=17, t=64)
     out = np.asarray(
