@@ -32,18 +32,21 @@ __all__ = [
 ]
 
 
-def covar_stats(obs: jax.Array, mask: jax.Array):
+def covar_stats(obs: jax.Array, mask: jax.Array, use_pallas=None):
     """Unnormalized covariance sufficient statistics (num, den).
 
     num[..., n, m] = sum_t m[..., t] y_n y*_m ; den = sum_t m.  The
     building block for both one-shot covariances and the psum-reduced
     sequence-parallel path.
 
-    For small mic counts an einsum here lowers to a batched matmul whose
-    N x N output pads the MXU to ~0.2% utilization; the statically
-    unrolled pair loop (elementwise multiply + T-reduction per unique
-    (n, m) pair, Hermitian fill) runs on the VPU instead — measured
-    ~20x faster on TPU.
+    Backend ladder (measured on chip, B=32 F=272 N=6 T=512):
+      * einsum -> batched matmul with an N x N output: ~0.2% MXU
+        utilization (the naive lowering; kept only for N > 8);
+      * statically-unrolled pair loop on the VPU: ~20x faster;
+      * the Pallas kernel (ops/pallas/covariance.py), which keeps the
+        observation tile in VMEM for all N^2 reductions — one HBM read
+        total, another ~10x (29 ms -> 3 ms).
+    ``use_pallas=None`` auto-enables the kernel on the TPU backend.
     """
     n = obs.shape[-2]
     den = jnp.sum(mask, axis=-1)
@@ -51,6 +54,25 @@ def covar_stats(obs: jax.Array, mask: jax.Array):
         num = jnp.einsum("...nt,...mt->...nm", mask[..., None, :] * obs,
                          jnp.conj(obs))
         return num, den
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from setk_tpu.ops.pallas.covariance import masked_covar_pallas
+        f, t = obs.shape[-3], obs.shape[-1]
+        # callers may broadcast (e.g. one obs against K mask classes)
+        lead = jnp.broadcast_shapes(obs.shape[:-3], mask.shape[:-2])
+        flat = jnp.broadcast_to(obs, (*lead, f, n, t)).reshape(
+            (-1, f, n, t))
+        mflat = jnp.broadcast_to(mask, (*lead, f, t)).reshape((-1, f, t))
+        f_tile = 16
+        pad = (-f) % f_tile
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            mflat = jnp.pad(mflat, ((0, 0), (0, pad), (0, 0)))
+        nre, nim, _ = masked_covar_pallas(jnp.real(flat), jnp.imag(flat),
+                                          mflat, f_tile=f_tile)
+        num = (nre + 1j * nim)[:, :f].reshape((*lead, f, n, n))
+        return num.astype(obs.dtype), den
     mobs = mask[..., None, :] * obs
     rows = []
     for a in range(n):

@@ -1,0 +1,61 @@
+"""Pallas covariance kernel tests (interpreter mode on CPU)."""
+
+import numpy as np
+
+from setk_tpu.enhance.beamformer import compute_covar, covar_stats
+from setk_tpu.ops.pallas.covariance import (compute_covar_pallas,
+                                            masked_covar_pallas)
+
+
+def _obs(rng, b=2, f=24, n=4, t=96):
+    obs = (rng.standard_normal((b, f, n, t)) +
+           1j * rng.standard_normal((b, f, n, t))).astype(np.complex64)
+    mask = rng.random((b, f, t)).astype(np.float32)
+    return obs, mask
+
+
+def test_kernel_matches_xla(rng):
+    obs, mask = _obs(rng)
+    ours = np.asarray(
+        compute_covar_pallas(obs, mask, f_tile=8, interpret=True))
+    ref = np.asarray(compute_covar(obs, mask))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_kernel_f_padding(rng):
+    # F not a multiple of the tile -> internal padding path
+    obs, mask = _obs(rng, f=13)
+    ours = np.asarray(
+        compute_covar_pallas(obs, mask, f_tile=8, interpret=True))
+    ref = np.asarray(compute_covar(obs, mask))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_planar_outputs_hermitian(rng):
+    obs, mask = _obs(rng, b=1, f=8, n=3, t=64)
+    nre, nim, den = masked_covar_pallas(np.real(obs), np.imag(obs), mask,
+                                        f_tile=8, interpret=True)
+    num = np.asarray(nre) + 1j * np.asarray(nim)
+    np.testing.assert_allclose(num, np.conj(np.swapaxes(num, -1, -2)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den), mask.sum(-1), atol=1e-4)
+
+
+def test_covar_stats_broadcast_parity(rng):
+    """K-class broadcast (cluster EM shape) through both backends."""
+    obs, _ = _obs(rng, b=1, f=16, n=3, t=48)
+    obs = obs[0]  # (F, N, T)
+    gamma = rng.random((2, 16, 48)).astype(np.float32)  # K x F x T
+    ref, _ = covar_stats(obs[None], gamma, use_pallas=False)
+    # interpret-mode pallas inside the dispatcher is not exposed, so
+    # exercise the broadcast plumbing via the wrapper directly
+    import jax.numpy as jnp
+    lead = np.broadcast_shapes(obs[None].shape[:-3], gamma.shape[:-2])
+    flat = np.broadcast_to(np.asarray(obs)[None],
+                           (*lead, 16, 3, 48)).reshape(-1, 16, 3, 48)
+    mflat = np.broadcast_to(gamma, (*lead, 16, 48)).reshape(-1, 16, 48)
+    nre, nim, _ = masked_covar_pallas(np.real(flat).copy(),
+                                      np.imag(flat).copy(), mflat.copy(),
+                                      f_tile=8, interpret=True)
+    num = (np.asarray(nre) + 1j * np.asarray(nim)).reshape(2, 16, 3, 3)
+    np.testing.assert_allclose(num, np.asarray(ref), atol=1e-4, rtol=1e-4)
