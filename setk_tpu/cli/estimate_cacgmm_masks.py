@@ -30,11 +30,23 @@ def _run(args):
                 logger.info(f"Skip existing {key}.npy...")
                 continue
             obs = stft_mat.transpose(1, 0, 2).astype(np.complex64)
-            gamma, q_hist = cacgmm_em(obs, args.num_classes,
-                                      num_iters=args.num_iters,
-                                      cgmm_init=args.cgmm_init,
-                                      update_alpha=args.update_alpha,
-                                      key=jax.random.PRNGKey(args.seed))
+            state = None
+            if args.resume_model:
+                mdl = Path(args.resume_model) / f"{key}.npz"
+                if mdl.exists():
+                    loaded = np.load(mdl)
+                    state = {k: loaded[k] for k in loaded.files}
+                    logger.info(f"Resumed EM state from {mdl}")
+            gamma, q_hist, mdl_state = cacgmm_em(
+                obs, args.num_classes, num_iters=args.num_iters,
+                cgmm_init=args.cgmm_init, update_alpha=args.update_alpha,
+                key=jax.random.PRNGKey(args.seed), state=state,
+                return_state=True)
+            if args.dump_model:
+                mdl_dir = Path(args.dump_model)
+                mdl_dir.mkdir(parents=True, exist_ok=True)
+                np.savez(mdl_dir / f"{key}.npz",
+                         **{k: np.asarray(v) for k, v in mdl_state.items()})
             for i, q in enumerate(np.asarray(q_hist)):
                 logger.info(f"{key}: iter {i + 1:2d}/{args.num_iters}: "
                             f"Q = {q:.4f}")
@@ -67,6 +79,10 @@ def make_parser():
     parser.add_argument("--update-alpha", type=strtobool, default=True)
     parser.add_argument("--solve-permu", type=strtobool, default=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dump-model", default="",
+                        help="Directory to save per-utt EM model state (.npz)")
+    parser.add_argument("--resume-model", default="",
+                        help="Directory with saved EM states to resume from")
     parser.add_argument("--force", type=strtobool, default=False)
     return parser
 

@@ -37,11 +37,23 @@ def _run(args):
                 init = np.asarray(init_reader[key])  # T x F
                 init = np.stack([init.T, 1 - init.T])  # K x F x T
                 gamma_init = init.astype(np.float32)
-            gamma, q_hist = cgmm_em(obs, args.num_classes,
-                                    num_iters=args.num_iters,
-                                    gamma_init=gamma_init,
-                                    update_alpha=args.update_alpha,
-                                    key=jax.random.PRNGKey(args.seed))
+            state = None
+            if args.resume_model:
+                mdl = Path(args.resume_model) / f"{key}.npz"
+                if mdl.exists():
+                    loaded = np.load(mdl)
+                    state = {k: loaded[k] for k in loaded.files}
+                    logger.info(f"Resumed EM state from {mdl}")
+            gamma, q_hist, mdl_state = cgmm_em(
+                obs, args.num_classes, num_iters=args.num_iters,
+                gamma_init=gamma_init, update_alpha=args.update_alpha,
+                key=jax.random.PRNGKey(args.seed), state=state,
+                return_state=True)
+            if args.dump_model:
+                mdl_dir = Path(args.dump_model)
+                mdl_dir.mkdir(parents=True, exist_ok=True)
+                np.savez(mdl_dir / f"{key}.npz",
+                         **{k: np.asarray(v) for k, v in mdl_state.items()})
             for i, q in enumerate(np.asarray(q_hist)):
                 logger.info(f"{key}: iter {i + 1:2d}/{args.num_iters}: "
                             f"Q = {q:.4f}")
@@ -80,6 +92,10 @@ def make_parser():
     parser.add_argument("--update-alpha", type=strtobool, default=False)
     parser.add_argument("--solve-permu", type=strtobool, default=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dump-model", default="",
+                        help="Directory to save per-utt EM model state (.npz)")
+    parser.add_argument("--resume-model", default="",
+                        help="Directory with saved EM states to resume from")
     parser.add_argument("--force", type=strtobool, default=False,
                         help="Recompute even if output exists")
     return parser

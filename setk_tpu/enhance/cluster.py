@@ -81,16 +81,29 @@ def cgmm_em(obs: jax.Array,
             num_iters: int = 20,
             gamma_init: jax.Array | None = None,
             update_alpha: bool = False,
-            key: jax.Array | None = None):
+            key: jax.Array | None = None,
+            state: dict | None = None,
+            return_state: bool = False):
     """CGMM EM over obs (F, M, T) (leading batch axes allowed).
 
-    Returns (gamma (K, F, T), q_history (num_iters,)).  K=2 without an
-    initial gamma uses the Higuchi init (Rs = sample covariance, Rn = I),
-    otherwise random or provided gammas.
+    Returns (gamma (K, F, T), q_history (num_iters,)) — plus the model
+    state dict {phi, covar, alpha} when ``return_state`` is set, which
+    can be fed back via ``state`` to resume training (the reference's
+    pickled-trainer resume, /root/reference/scripts/sptk/libs/
+    cluster.py:449-453).  K=2 without an initial gamma uses the Higuchi
+    init (Rs = sample covariance, Rn = I), otherwise random or provided
+    gammas.
     Parity: /root/reference/scripts/sptk/libs/cluster.py:396-465.
     """
     obs = jnp.asarray(obs)
     *batch, f, m, t = obs.shape
+    if state is not None:
+        phi = jnp.asarray(state["phi"])
+        covar = jnp.asarray(state["covar"])
+        alpha = jnp.asarray(state["alpha"])
+        gamma, _ = _cgmm_predict(obs, phi, covar, alpha)
+        return _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters,
+                          update_alpha, return_state)
     if gamma_init is not None:
         gamma = jnp.asarray(gamma_init)
         den = jnp.maximum(jnp.sum(gamma, -1, keepdims=True), EPSILON)
@@ -112,7 +125,12 @@ def cgmm_em(obs: jax.Array,
     phi = _cgmm_quad(obs, r_inv) / m
     alpha = jnp.full((num_classes, *batch, f), 1.0 / num_classes)
     gamma, _ = _cgmm_predict(obs, phi, covar, alpha)
+    return _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters,
+                      update_alpha, return_state)
 
+
+def _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters, update_alpha,
+               return_state):
     def step(carry, _):
         phi, covar, alpha, gamma = carry
         # M-step: R and phi (reference order: update then predict)
@@ -126,8 +144,10 @@ def cgmm_em(obs: jax.Array,
         gamma, q = _cgmm_predict(obs, phi, covar, alpha)
         return (phi, covar, alpha, gamma), q
 
-    (_, _, _, gamma), q_hist = jax.lax.scan(step, (phi, covar, alpha, gamma),
-                                            None, length=num_iters)
+    (phi, covar, alpha, gamma), q_hist = jax.lax.scan(
+        step, (phi, covar, alpha, gamma), None, length=num_iters)
+    if return_state:
+        return gamma, q_hist, {"phi": phi, "covar": covar, "alpha": alpha}
     return gamma, q_hist
 
 
@@ -153,18 +173,27 @@ def cacgmm_em(obs: jax.Array,
               gamma_init: jax.Array | None = None,
               cgmm_init: bool = False,
               update_alpha: bool = True,
-              key: jax.Array | None = None):
+              key: jax.Array | None = None,
+              state: dict | None = None,
+              return_state: bool = False):
     """CACGMM EM over obs (F, M, T); observations are L2-normalized over
     the mic axis internally (as the reference does over axis=0 of
     M x F x T, /root/reference/scripts/sptk/libs/cluster.py:489).
 
-    Returns (gamma (K, F, T), q_history).
+    Returns (gamma (K, F, T), q_history) — plus the model state dict
+    {covar, alpha} when ``return_state`` is set, resumable via ``state``
+    (pickled-trainer parity, /root/reference/scripts/sptk/libs/
+    cluster.py:519-523).
     """
     obs = norm_observation(jnp.asarray(obs), axis=-2)
     *batch, f, m, t = obs.shape
     alpha = jnp.full((num_classes, *batch, f), 1.0 / num_classes)
 
-    if cgmm_init and num_classes == 2:
+    if state is not None:
+        covar = jnp.asarray(state["covar"])
+        alpha = jnp.asarray(state["alpha"])
+        gamma, kernel, _ = _cacgmm_predict(obs, covar, alpha)
+    elif cgmm_init and num_classes == 2:
         rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs)) / t
         rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
         covar = jnp.stack([rs, rn])
@@ -179,8 +208,10 @@ def cacgmm_em(obs: jax.Array,
             gamma = jnp.asarray(gamma_init)
         kernel = jnp.ones((num_classes, *batch, f, t))
 
+    covar0 = jnp.zeros((num_classes, *batch, f, m, m), dtype=obs.dtype)
+
     def step(carry, _):
-        gamma, kernel, alpha = carry
+        gamma, kernel, alpha, _ = carry
         # M-step: B update with kernel weighting
         den = jnp.maximum(jnp.sum(gamma, -1, keepdims=True), EPSILON)
         covar = m * _weighted_covar(obs, gamma / kernel) / den[..., None]
@@ -188,10 +219,12 @@ def cacgmm_em(obs: jax.Array,
             alpha = jnp.mean(gamma, -1)
         # E-step
         gamma, kernel, q = _cacgmm_predict(obs, covar, alpha)
-        return (gamma, kernel, alpha), q
+        return (gamma, kernel, alpha, covar), q
 
-    (gamma, _, _), q_hist = jax.lax.scan(step, (gamma, kernel, alpha),
-                                         None, length=num_iters)
+    (gamma, _, alpha, covar), q_hist = jax.lax.scan(
+        step, (gamma, kernel, alpha, covar0), None, length=num_iters)
+    if return_state:
+        return gamma, q_hist, {"covar": covar, "alpha": alpha}
     return gamma, q_hist
 
 

@@ -3,9 +3,10 @@
 Math parity: /root/reference/scripts/sptk/libs/ns.py (equation-by-equation
 Cohen 2001 / Cohen 2003).  The reference runs a Python loop per frame with
 scipy quad for the exponential integral; here the whole recursion is one
-``lax.scan`` over frames with ``jax.scipy.special.exp1`` (identical
-integral), all branches as ``where`` selects, and the iMCRA U-window
-minima kept in a rolling (U, F) buffer carry.
+``lax.scan`` over frames with a vectorized rational E1 approximation
+(A&S 5.1.53/56 — jax.scipy.special.exp1's per-element loop is ~100x
+slower than the whole recursion), all branches as ``where`` selects, and
+the iMCRA U-window minima kept in a rolling (U, F) buffer carry.
 """
 
 from dataclasses import dataclass, field
@@ -17,7 +18,8 @@ import numpy as np
 
 from setk_tpu.dsp.window import make_window
 
-__all__ = ["MCRAConfig", "IMCRAConfig", "mcra_gain", "imcra_gain", "omlsa"]
+__all__ = ["MCRAConfig", "IMCRAConfig", "mcra_gain", "imcra_gain", "omlsa",
+           "exp1"]
 
 
 def _win(name, width):
@@ -27,9 +29,56 @@ def _win(name, width):
     return w.astype(np.float32)
 
 
+def exp1(x):
+    """Exponential integral E1(x), x > 0 — vectorized A&S 5.1.53/5.1.56.
+
+    jax.scipy.special.exp1 evaluates a per-element while_loop that is
+    profiled ~100x slower than the whole OM-LSA recursion on CPU; the
+    classic rational approximations are branch-free jnp.where selects
+    with |error| < 2e-7 — beyond fp32 resolution.
+    """
+    x = jnp.maximum(x, 1e-12)
+    # 0 < x <= 1: -ln x + polynomial
+    small = (-jnp.log(x) - 0.57721566 +
+             x * (0.99999193 +
+                  x * (-0.24991055 +
+                       x * (0.05519968 +
+                            x * (-0.00976004 + x * 0.00107857)))))
+    # x >= 1: exp(-x)/x * P4(x)/Q4(x)
+    p = (((x + 8.5733287401) * x + 18.059016973) * x +
+         8.6347608925) * x + 0.2677737343
+    q = (((x + 9.5733223454) * x + 25.6329561486) * x +
+         21.0996530827) * x + 3.9584969228
+    large = jnp.exp(-x) / x * (p / q)
+    return jnp.where(x <= 1.0, small, large)
+
+
 def _conv_same(x, w):
-    """1-D 'same' convolution along the last axis (w static)."""
-    return jnp.convolve(x, w, mode="same")
+    """1-D 'same' convolution along the last axis via static shift-sums.
+
+    jnp.convolve inside the per-frame scan makes XLA-CPU compile time
+    blow up superlinearly in F; the smoothing windows here are tiny
+    (3..31 taps), so an unrolled shifted-add chain is both faster to
+    compile and to run.
+    """
+    width = w.shape[0]
+    half = width // 2
+    f = x.shape[-1]
+    acc = None
+    for i in range(width):
+        # output[j] = sum_i w[i] * x[j + half - i] (zero-padded)
+        shift = half - i
+        if shift > 0:
+            seg = jnp.pad(x[..., shift:], [(0, 0)] * (x.ndim - 1) +
+                          [(0, shift)])
+        elif shift < 0:
+            seg = jnp.pad(x[..., :f + shift], [(0, 0)] * (x.ndim - 1) +
+                          [(-shift, 0)])
+        else:
+            seg = x
+        term = w[i] * seg
+        acc = term if acc is None else acc + term
+    return acc
 
 
 @dataclass(frozen=True)
@@ -106,7 +155,7 @@ def mcra_gain(stft: jax.Array, cfg: MCRAConfig = MCRAConfig(),
         xi_hat = jnp.maximum(xi_hat, xi_min)
         # eq.15: LSA gain under speech presence
         v = gamma * xi_hat / (1 + xi_hat)
-        gh1 = xi_hat * jnp.exp(0.5 * jax.scipy.special.exp1(v)) / (1 + xi_hat)
+        gh1 = xi_hat * jnp.exp(0.5 * exp1(v)) / (1 + xi_hat)
         # eq.32-33: smoothed power
         var_sf = _conv_same(pw, w_m)
         var_s = jnp.where(first, pw,
@@ -226,8 +275,7 @@ def imcra_gain(stft: jax.Array, cfg: IMCRAConfig = IMCRAConfig(),
         xi_hat = jnp.maximum(xi_hat, xi_min)
         # eq.33
         v = gamma * xi_hat / (1 + xi_hat)
-        gh1 = xi_hat / (1 + xi_hat) * jnp.exp(
-            0.5 * jax.scipy.special.exp1(v))
+        gh1 = xi_hat / (1 + xi_hat) * jnp.exp(0.5 * exp1(v))
         # eq.14-15: first smoothing + minima
         var_sf = _conv_same(pw, w_m)
         var_s = jnp.where(first, var_sf,
