@@ -58,7 +58,46 @@ def _run(args):
     logger.info(f"Processed {num_done} utterances")
 
 
+def _run_batched(args):
+    """Accelerator path: bucketed multi-utterance EM in one program."""
+    from setk_tpu.parallel.executor import BatchClusterer
+    cfg = stft_config_from_args(args)
+    reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
+    kwargs = dict(update_alpha=args.update_alpha)
+    if "cacgmm" == "cacgmm":
+        kwargs["cgmm_init"] = args.cgmm_init
+    clusterer = BatchClusterer(algo="cacgmm",
+                               num_classes=args.num_classes,
+                               num_iters=args.num_iters,
+                               batch_size=args.batch_size,
+                               seed=args.seed, **kwargs)
+    num_done = 0
+    with NumpyWriter(args.dst_dir, args.scp) as writer:
+        def emit(key, gamma):
+            masks = np.ascontiguousarray(gamma.transpose(0, 2, 1))
+            if args.solve_permu and args.num_classes > 2:
+                masks = permu_aligner(masks)
+            if args.num_classes == 2 and "cacgmm" == "cgmm":
+                writer.write(key, masks[0].astype(np.float32))
+            else:
+                writer.write(key, masks.astype(np.float32))
+
+        for key, stft_mat in reader:
+            obs = stft_mat.transpose(1, 0, 2).astype(np.complex64)
+            for done_key, gamma in clusterer.add(key, obs):
+                emit(done_key, gamma)
+                num_done += 1
+        for done_key, gamma in clusterer.flush():
+            emit(done_key, gamma)
+            num_done += 1
+    logger.info(f"Processed {num_done} utterances (batched)")
+
+
 def run(args):
+    if getattr(args, "batch_size", 1) > 1:
+        # batched accelerator path (jitted EM over utterance buckets)
+        _run_batched(args)
+        return
     from setk_tpu.utils.hostdev import on_host
     # eager utterance-loop command: pin compute to host CPU
     with on_host():
@@ -79,6 +118,9 @@ def make_parser():
     parser.add_argument("--update-alpha", type=strtobool, default=True)
     parser.add_argument("--solve-permu", type=strtobool, default=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help=">1 runs bucketed multi-utterance EM on the "
+                        "accelerator (frame-masked statistics)")
     parser.add_argument("--dump-model", default="",
                         help="Directory to save per-utt EM model state (.npz)")
     parser.add_argument("--resume-model", default="",

@@ -33,11 +33,17 @@ def norm_observation(mat, axis=-1, eps=EPSILON):
     return mat / denorm
 
 
-def _posterior(log_pdf, alpha):
+def _posterior(log_pdf, alpha, frame_mask=None):
     """Softmax posterior over the class axis (first), with priors; also
-    returns the reference's Q statistic (mean log marginal likelihood)."""
+    returns the reference's Q statistic (mean log marginal likelihood,
+    over valid frames when ``frame_mask`` is given)."""
     pdf_tf = jnp.sum(jnp.exp(log_pdf) * alpha[..., None], axis=0)
-    q = jnp.mean(jnp.log(jnp.maximum(pdf_tf, 1e-38)))
+    log_marg = jnp.log(jnp.maximum(pdf_tf, 1e-38))
+    if frame_mask is None:
+        q = jnp.mean(log_marg)
+    else:
+        fm = jnp.broadcast_to(frame_mask, log_marg.shape)
+        q = jnp.sum(log_marg * fm) / jnp.maximum(jnp.sum(fm), 1.0)
     log_pdf = log_pdf - jnp.max(log_pdf, axis=0, keepdims=True)
     num = jnp.exp(log_pdf) * alpha[..., None]
     den = jnp.maximum(jnp.sum(num, axis=0, keepdims=True), EPSILON)
@@ -69,11 +75,11 @@ def _cgmm_quad(obs, r_inv):
     return jnp.maximum(jnp.abs(quad), EPSILON)
 
 
-def _cgmm_predict(obs, phi, covar, alpha):
+def _cgmm_predict(obs, phi, covar, alpha, frame_mask=None):
     m = obs.shape[-2]
     r_inv, logdet = regularized_inverse(covar, return_logdet=True)
     log_pdf = -m * jnp.log(phi) - logdet[..., None]
-    return _posterior(log_pdf, alpha)
+    return _posterior(log_pdf, alpha, frame_mask)
 
 
 def cgmm_em(obs: jax.Array,
@@ -83,7 +89,8 @@ def cgmm_em(obs: jax.Array,
             update_alpha: bool = False,
             key: jax.Array | None = None,
             state: dict | None = None,
-            return_state: bool = False):
+            return_state: bool = False,
+            frame_mask: jax.Array | None = None):
     """CGMM EM over obs (F, M, T) (leading batch axes allowed).
 
     Returns (gamma (K, F, T), q_history (num_iters,)) — plus the model
@@ -103,13 +110,21 @@ def cgmm_em(obs: jax.Array,
         alpha = jnp.asarray(state["alpha"])
         gamma, _ = _cgmm_predict(obs, phi, covar, alpha)
         return _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters,
-                          update_alpha, return_state)
+                          update_alpha, return_state,
+                          frame_mask=frame_mask)
+    fm = None if frame_mask is None else jnp.asarray(frame_mask)
     if gamma_init is not None:
         gamma = jnp.asarray(gamma_init)
-        den = jnp.maximum(jnp.sum(gamma, -1, keepdims=True), EPSILON)
-        covar = _weighted_covar(obs, gamma) / den[..., None]
+        g = gamma if fm is None else gamma * fm
+        den = jnp.maximum(jnp.sum(g, -1, keepdims=True), EPSILON)
+        covar = _weighted_covar(obs, g) / den[..., None]
     elif num_classes == 2:
-        rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs)) / t
+        if fm is None:
+            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs)) / t
+        else:
+            mobs = obs * fm[..., None, :]
+            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs)) /
+                  jnp.maximum(jnp.sum(fm, -1), 1.0)[..., None, None])
         rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
         covar = jnp.stack([rs, rn])
         gamma = None
@@ -118,30 +133,38 @@ def cgmm_em(obs: jax.Array,
             key = jax.random.PRNGKey(0)
         gamma = jax.random.uniform(key, (num_classes, *batch, f, t))
         gamma = gamma / jnp.sum(gamma, 0, keepdims=True)
-        den = jnp.maximum(jnp.sum(gamma, -1, keepdims=True), EPSILON)
-        covar = _weighted_covar(obs, gamma) / den[..., None]
+        g = gamma if fm is None else gamma * fm
+        den = jnp.maximum(jnp.sum(g, -1, keepdims=True), EPSILON)
+        covar = _weighted_covar(obs, g) / den[..., None]
     # init phi from R^{-1}
     r_inv = regularized_inverse(covar)
     phi = _cgmm_quad(obs, r_inv) / m
     alpha = jnp.full((num_classes, *batch, f), 1.0 / num_classes)
     gamma, _ = _cgmm_predict(obs, phi, covar, alpha)
     return _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters,
-                      update_alpha, return_state)
+                      update_alpha, return_state, frame_mask=frame_mask)
 
 
 def _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters, update_alpha,
-               return_state):
+               return_state, frame_mask=None):
+    fm = None if frame_mask is None else jnp.asarray(frame_mask)
+
     def step(carry, _):
         phi, covar, alpha, gamma = carry
+        g = gamma if fm is None else gamma * fm
         # M-step: R and phi (reference order: update then predict)
-        den = jnp.maximum(jnp.sum(gamma, -1, keepdims=True), EPSILON)
-        covar = _weighted_covar(obs, gamma * m / phi) / den[..., None]
+        den = jnp.maximum(jnp.sum(g, -1, keepdims=True), EPSILON)
+        covar = _weighted_covar(obs, g * m / phi) / den[..., None]
         r_inv = regularized_inverse(covar)
         phi = _cgmm_quad(obs, r_inv) / m
         if update_alpha:
-            alpha = jnp.mean(gamma, -1)
+            if fm is None:
+                alpha = jnp.mean(gamma, -1)
+            else:
+                alpha = jnp.sum(g, -1) / jnp.maximum(
+                    jnp.sum(jnp.broadcast_to(fm, gamma.shape), -1), 1.0)
         # E-step
-        gamma, q = _cgmm_predict(obs, phi, covar, alpha)
+        gamma, q = _cgmm_predict(obs, phi, covar, alpha, fm)
         return (phi, covar, alpha, gamma), q
 
     (phi, covar, alpha, gamma), q_hist = jax.lax.scan(
@@ -158,12 +181,12 @@ def _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters, update_alpha,
 CacgmmState = tuple  # (covar, alpha, kernel, gamma)
 
 
-def _cacgmm_predict(obs, covar, alpha):
+def _cacgmm_predict(obs, covar, alpha, frame_mask=None):
     m = obs.shape[-2]
     b_inv, logdet = regularized_inverse(covar, return_logdet=True)
     kernel = _cgmm_quad(obs, b_inv)
     log_pdf = -m * jnp.log(kernel) - logdet[..., None]
-    gamma, q = _posterior(log_pdf, alpha)
+    gamma, q = _posterior(log_pdf, alpha, frame_mask)
     return gamma, kernel, q
 
 
@@ -175,7 +198,8 @@ def cacgmm_em(obs: jax.Array,
               update_alpha: bool = True,
               key: jax.Array | None = None,
               state: dict | None = None,
-              return_state: bool = False):
+              return_state: bool = False,
+              frame_mask: jax.Array | None = None):
     """CACGMM EM over obs (F, M, T); observations are L2-normalized over
     the mic axis internally (as the reference does over axis=0 of
     M x F x T, /root/reference/scripts/sptk/libs/cluster.py:489).
@@ -194,7 +218,13 @@ def cacgmm_em(obs: jax.Array,
         alpha = jnp.asarray(state["alpha"])
         gamma, kernel, _ = _cacgmm_predict(obs, covar, alpha)
     elif cgmm_init and num_classes == 2:
-        rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs)) / t
+        if frame_mask is None:
+            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs)) / t
+        else:
+            fm0 = jnp.asarray(frame_mask)
+            mobs = obs * fm0[..., None, :]
+            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs)) /
+                  jnp.maximum(jnp.sum(fm0, -1), 1.0)[..., None, None])
         rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
         covar = jnp.stack([rs, rn])
         gamma, kernel, _ = _cacgmm_predict(obs, covar, alpha)
@@ -209,16 +239,22 @@ def cacgmm_em(obs: jax.Array,
         kernel = jnp.ones((num_classes, *batch, f, t))
 
     covar0 = jnp.zeros((num_classes, *batch, f, m, m), dtype=obs.dtype)
+    fm = None if frame_mask is None else jnp.asarray(frame_mask)
 
     def step(carry, _):
         gamma, kernel, alpha, _ = carry
+        g = gamma if fm is None else gamma * fm
         # M-step: B update with kernel weighting
-        den = jnp.maximum(jnp.sum(gamma, -1, keepdims=True), EPSILON)
-        covar = m * _weighted_covar(obs, gamma / kernel) / den[..., None]
+        den = jnp.maximum(jnp.sum(g, -1, keepdims=True), EPSILON)
+        covar = m * _weighted_covar(obs, g / kernel) / den[..., None]
         if update_alpha:
-            alpha = jnp.mean(gamma, -1)
+            if fm is None:
+                alpha = jnp.mean(gamma, -1)
+            else:
+                alpha = jnp.sum(g, -1) / jnp.maximum(
+                    jnp.sum(jnp.broadcast_to(fm, gamma.shape), -1), 1.0)
         # E-step
-        gamma, kernel, q = _cacgmm_predict(obs, covar, alpha)
+        gamma, kernel, q = _cacgmm_predict(obs, covar, alpha, fm)
         return (gamma, kernel, alpha, covar), q
 
     (gamma, _, alpha, covar), q_hist = jax.lax.scan(

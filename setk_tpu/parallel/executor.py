@@ -24,7 +24,8 @@ from setk_tpu.utils.logger import get_logger
 
 logger = get_logger(__name__)
 
-__all__ = ["shard_manifest", "LengthBucketer", "BatchEnhancer"]
+__all__ = ["shard_manifest", "LengthBucketer", "BatchEnhancer",
+           "BatchClusterer"]
 
 
 def shard_manifest(keys, num_shards: int, shard_index: int):
@@ -137,3 +138,69 @@ class BatchEnhancer:
             lengths.append((key, s))
         out = np.asarray(self._fn(bucket)(wavs, masks))
         return [(key, out[i, :s]) for i, (key, s) in enumerate(lengths)]
+
+
+class BatchClusterer:
+    """Batched CGMM/CACGMM mask estimation over utterance buckets.
+
+    The reference runs EM one utterance at a time on one core; here B
+    utterances of a common frame bucket run as one jitted EM program
+    (frame-masked statistics keep padded frames out of the updates) —
+    the clustering analog of BatchEnhancer.
+    """
+
+    def __init__(self, algo: str = "cacgmm", num_classes: int = 2,
+                 num_iters: int = 20, batch_size: int = 4,
+                 frame_bucket: int = 128, seed: int = 0, **em_kwargs):
+        if algo not in ("cgmm", "cacgmm"):
+            raise ValueError(f"Unknown clustering algo: {algo}")
+        self.algo = algo
+        self.num_classes = num_classes
+        self.num_iters = num_iters
+        self.batch_size = batch_size
+        self.frame_bucket = frame_bucket
+        self.seed = seed
+        self.em_kwargs = em_kwargs
+        self._pending = defaultdict(list)
+
+    def add(self, key, obs: np.ndarray):
+        """Queue one utterance's STFT (F, M, T); returns flushed results."""
+        f, m, t = obs.shape
+        bucket = -(-t // self.frame_bucket) * self.frame_bucket
+        self._pending[(f, m, bucket)].append((key, obs))
+        if len(self._pending[(f, m, bucket)]) >= self.batch_size:
+            return self._flush_bucket((f, m, bucket))
+        return []
+
+    def flush(self):
+        out = []
+        for shape in list(self._pending):
+            out.extend(self._flush_bucket(shape))
+        return out
+
+    def _flush_bucket(self, shape):
+        import jax
+        from setk_tpu.enhance.cluster import cgmm_em, cacgmm_em
+        items = self._pending.pop(shape, [])
+        if not items:
+            return []
+        f, m, bucket = shape
+        batch = len(items)
+        obs = np.zeros((batch, f, m, bucket), dtype=np.complex64)
+        fmask = np.zeros((batch, 1, bucket), dtype=np.float32)
+        lengths = []
+        for i, (key, o) in enumerate(items):
+            t = o.shape[-1]
+            obs[i, :, :, :t] = o
+            # padded bins carry tiny noise so normalized observations
+            # stay finite; the frame mask removes them from statistics
+            obs[i, :, :, t:] = 1e-6
+            fmask[i, 0, :t] = 1.0
+            lengths.append((key, t))
+        em = cgmm_em if self.algo == "cgmm" else cacgmm_em
+        gamma, _ = em(obs, self.num_classes, num_iters=self.num_iters,
+                      frame_mask=fmask, key=jax.random.PRNGKey(self.seed),
+                      **self.em_kwargs)
+        gamma = np.asarray(gamma)  # (K, B, F, bucket)
+        return [(key, gamma[:, i, :, :t]) for i, (key, t) in
+                enumerate(lengths)]

@@ -90,6 +90,26 @@ def test_cgmm_separates_block_sources(rng):
     assert sep > 0.3
 
 
+def test_frame_masked_em_ignores_padding(rng):
+    """Padded frames with frame_mask=0 must not change the EM result."""
+    obs = _spatial_mix(rng, m=3, f=8, t=40).astype(np.complex64)
+    gamma, _ = cgmm_em(obs, 2, num_iters=8)
+    # pad 24 junk frames, mask them out
+    junk = (rng.standard_normal((8, 3, 24)) * 10).astype(np.complex64)
+    padded = np.concatenate([obs, junk], axis=-1)
+    fmask = np.zeros((8, 64), dtype=np.float32)
+    fmask[:, :40] = 1.0
+    gamma_p, _ = cgmm_em(padded, 2, num_iters=8, frame_mask=fmask)
+    np.testing.assert_allclose(np.asarray(gamma_p)[..., :40],
+                               np.asarray(gamma), atol=2e-2)
+    # cacgmm too
+    g1, _ = cacgmm_em(obs, 2, num_iters=8, cgmm_init=True)
+    g2, _ = cacgmm_em(padded, 2, num_iters=8, cgmm_init=True,
+                      frame_mask=fmask)
+    mism = np.mean(np.abs(np.asarray(g2)[..., :40] - np.asarray(g1)) > 5e-2)
+    assert mism < 0.02, mism
+
+
 def test_permu_aligner_fixes_swaps(rng):
     f, t, k = 257, 50, 2
     base = rng.random((k, t, f))
