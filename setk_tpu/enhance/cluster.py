@@ -70,7 +70,13 @@ CgmmState = tuple  # (phi, covar, alpha, gamma)
 
 
 def _cgmm_quad(obs, r_inv):
-    """phi-style quadratic z^H R^{-1} z: (K, F, T)."""
+    """phi-style quadratic z^H R^{-1} z: (K, F, T).
+
+    Kept as an einsum: inside the EM scan XLA fuses it well (203 ms for
+    20 batched iterations), while a statically-unrolled M^2 pair loop —
+    despite winning 25x in isolation — bloats the scan body enough to
+    slow the fused program ~1.7x and multiply compile time.
+    """
     quad = jnp.einsum("...xt,k...xy,...yt->k...t", jnp.conj(obs), r_inv, obs)
     return jnp.maximum(jnp.abs(quad), EPSILON)
 
