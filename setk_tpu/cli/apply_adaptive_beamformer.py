@@ -52,7 +52,62 @@ def _jit_pipeline(beamformer, ban, post_mask, chunk_size, alpha, pmwf_ref,
     return jax.jit(pipeline, static_argnames=("nsamps",))
 
 
+def _run_batched(args):
+    """Throughput path: bucketed (B, N, S) batches through BatchEnhancer,
+    optionally data-parallel over the device mesh."""
+    from setk_tpu.io import WaveReader
+    from setk_tpu.parallel.executor import BatchEnhancer
+    cfg = stft_config_from_args(args)
+    reader = WaveReader(args.wav_scp, sr=args.sr)
+    tgt_reader = MaskReader(args.fmt, args.tgt_mask)
+    mesh = None
+    if args.data_parallel:
+        import jax
+        from setk_tpu.parallel import make_mesh
+        n = len(jax.devices())
+        if n > 1:
+            mesh = make_mesh(n, axis_sizes=(n, 1, 1))
+    enhancer = BatchEnhancer(cfg, beamformer=args.beamformer,
+                             batch_size=args.batch_size, mesh=mesh,
+                             ban=bool(args.ban))
+    num_done = 0
+    with WaveWriter(args.dst_dir, sr=args.sr) as writer:
+        norms = {}
+
+        def emit(key, samps):
+            peak = np.max(np.abs(samps))
+            writer.write(key, samps * norms[key] / (peak + 1e-7))
+
+        for key, wav in reader:
+            if key not in tgt_reader:
+                continue
+            if wav.ndim == 1:
+                wav = wav[None]
+            mask = np.asarray(tgt_reader[key])
+            f_bins = cfg.num_bins
+            if mask.shape[0] == f_bins and mask.shape[1] != f_bins:
+                mask = mask.T  # to T x F
+            norms[key] = float(np.max(np.abs(wav)))
+            for done_key, samps in enhancer.add(
+                    key, wav.astype(np.float32),
+                    np.minimum(mask, 1).astype(np.float32)):
+                emit(done_key, samps)
+                num_done += 1
+        for done_key, samps in enhancer.flush():
+            emit(done_key, samps)
+            num_done += 1
+    logger.info(f"Processed {num_done} utterances (batched)")
+
+
 def run(args):
+    if args.batch_size > 1:
+        if args.chunk_size > 0 or args.itf_mask or \
+                0.5 < args.vad_proportion < 1 or args.mask:
+            raise RuntimeError(
+                "--batch-size > 1 supports the plain offline path "
+                "(no online/interference/VAD/post-mask options)")
+        _run_batched(args)
+        return
     cfg = stft_config_from_args(args)
     reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
     tgt_reader = MaskReader(args.fmt, args.tgt_mask)
@@ -139,6 +194,11 @@ def make_parser():
                         help="Online covariance EMA factor")
     parser.add_argument("--channels", type=int, default=4,
                         help="(accepted for recipe compatibility)")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help=">1 runs bucketed batches through the "
+                        "executor (offline path only)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard batches over the device mesh")
     return parser
 
 
