@@ -152,3 +152,21 @@ def test_online_beamformer_cli(tmp_path, rng):
     ])
     out = read_wav(tmp_path / "enh" / "u.wav")
     assert np.isfinite(out).all() and out.shape[-1] == sr
+
+
+def test_extract_segments_and_archive_wav(tmp_path, rng):
+    long_wav = (rng.standard_normal(32000) * 0.2).astype(np.float32)
+    write_wav(tmp_path / "rec.wav", long_wav)
+    (tmp_path / "wav.scp").write_text(f"rec {tmp_path}/rec.wav\n")
+    (tmp_path / "segments").write_text("seg1 rec 0.5 1.0\nseg2 rec 1.2 1.5\n")
+    _run("extract_segments", [str(tmp_path / "wav.scp"),
+                              str(tmp_path / "segments"),
+                              str(tmp_path / "segs")])
+    seg1 = read_wav(tmp_path / "segs" / "seg1.wav")
+    np.testing.assert_allclose(seg1, long_wav[8000:16000], atol=1e-3)
+    _run("archive_wav", [str(tmp_path / "wav.scp"),
+                         str(tmp_path / "wav.ark"),
+                         str(tmp_path / "ark.scp")])
+    from setk_tpu.io import WaveReader
+    got = WaveReader(str(tmp_path / "ark.scp"))["rec"]
+    np.testing.assert_allclose(got, long_wav, atol=1e-3)
