@@ -55,10 +55,11 @@ def _jit_pipeline(beamformer, ban, post_mask, chunk_size, alpha, pmwf_ref,
 def _run_batched(args):
     """Throughput path: bucketed (B, N, S) batches through BatchEnhancer,
     optionally data-parallel over the device mesh."""
-    from setk_tpu.io import WaveReader
+    from setk_tpu.io.prefetch import PrefetchWaveLoader
     from setk_tpu.parallel.executor import BatchEnhancer
     cfg = stft_config_from_args(args)
-    reader = WaveReader(args.wav_scp, sr=args.sr)
+    # decode-ahead on the native thread pool so the chip never waits on IO
+    reader = PrefetchWaveLoader(args.wav_scp, sr=args.sr)
     tgt_reader = MaskReader(args.fmt, args.tgt_mask)
     mesh = None
     if args.data_parallel:

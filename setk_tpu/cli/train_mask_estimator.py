@@ -110,7 +110,7 @@ def make_parser():
     parser.add_argument("--fmt", default="kaldi",
                         choices=["kaldi", "numpy", "exraw"])
     parser.add_argument("--arch", default="dnn",
-                        choices=["dnn", "tdnn", "lstm", "blstm"])
+                        choices=["dnn", "tdnn", "cnn-tdnn", "lstm", "blstm"])
     parser.add_argument("--hidden", type=int, default=512)
     parser.add_argument("--num-layers", type=int, default=3)
     parser.add_argument("--epochs", type=int, default=10)

@@ -132,11 +132,18 @@ class WaveReader(ScpReader):
     address.
     """
 
-    def __init__(self, wav_scp, sr=16000, normalize=True):
+    def __init__(self, wav_scp, sr=16000, normalize=True, native="auto"):
         super().__init__(wav_scp)
         self.sr = sr
         self.normalize = normalize
         self._ark_fds = {}
+        # plain-path decodes go through the native loader when available
+        # (bit-exact vs the Python decoder — tests/test_native_io.py)
+        if native == "auto":
+            from setk_tpu.utils.native import native_available
+            self.native = native_available()
+        else:
+            self.native = bool(native)
 
     def _read_addr(self, addr, beg=None, end=None):
         if isinstance(addr, str) and ":" in addr:
@@ -147,6 +154,10 @@ class WaveReader(ScpReader):
             fd.seek(int(offset))
             return read_wav(fd, beg=beg, end=end,
                             normalize=self.normalize, sr=self.sr)
+        if self.native:
+            from setk_tpu.io.native_wav import read_wav_native
+            return read_wav_native(addr, beg=beg or 0, end=end,
+                                   normalize=self.normalize, sr=self.sr)
         return read_wav(addr, beg=beg, end=end,
                         normalize=self.normalize, sr=self.sr)
 

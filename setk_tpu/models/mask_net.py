@@ -1,4 +1,4 @@
-"""Neural T-F mask estimators (DNN / TDNN / LSTM / BLSTM).
+"""Neural T-F mask estimators (DNN / TDNN / CNN-TDNN / LSTM / BLSTM).
 
 The reference delegates mask-estimator training to Kaldi nnet3 recipes
 (/root/reference/steps/train_dnn_mask.sh, train_rnn_mask.sh: DNN/TDNN/
@@ -53,7 +53,7 @@ class TdnnBlock(nn.Module):
 
 class MaskNet(nn.Module):
     """Sigmoid T-F mask estimator over log-magnitude inputs."""
-    arch: str = "dnn"  # dnn | tdnn | lstm | blstm
+    arch: str = "dnn"  # dnn | tdnn | cnn-tdnn | lstm | blstm
     num_bins: int = 257
     hidden: int = 512
     num_layers: int = 3
@@ -69,6 +69,19 @@ class MaskNet(nn.Module):
                 x = nn.relu(nn.LayerNorm()(nn.Dense(self.hidden)(x)))
         elif self.arch == "tdnn":
             x = nn.relu(nn.Dense(self.hidden)(x))
+            for i in range(self.num_layers):
+                x = TdnnBlock(self.hidden, dilation=2**i)(x)
+        elif self.arch == "cnn-tdnn":
+            # 2D conv front-end over (time, freq), then TDNN stack —
+            # same shape as the reference's cnn xconfig
+            # (steps/train_dnn_mask.sh:82-95: 5 conv-relu-batchnorm
+            # layers with a height subsample, then relu-renorm layers).
+            # LayerNorm replaces batchnorm: stateless, fuses on TPU.
+            h = x[..., None]  # (B, T, F, 1)
+            for filters, f_stride in ((32, 1), (32, 1), (64, 2), (32, 1)):
+                h = nn.Conv(filters, (3, 3), strides=(1, f_stride))(h)
+                h = nn.relu(nn.LayerNorm()(h))
+            x = h.reshape(h.shape[:-2] + (h.shape[-2] * h.shape[-1],))
             for i in range(self.num_layers):
                 x = TdnnBlock(self.hidden, dilation=2**i)(x)
         elif self.arch in ("lstm", "blstm"):

@@ -17,10 +17,7 @@ Two engines, cross-validated in tests:
 
 import ctypes
 import math
-import os
-import subprocess
 from functools import partial
-from pathlib import Path
 
 import numpy as np
 
@@ -69,29 +66,14 @@ def t60_from_beta(room, beta, velocity=340.0):
 # native engine
 # --------------------------------------------------------------------------
 
-_NATIVE = None
-
-
 def _load_native():
-    global _NATIVE
-    if _NATIVE is not None:
-        return _NATIVE
-    here = Path(__file__).parent
-    so = here / "libsetk_tpu_native.so"
-    if not so.exists():
-        src = here.parent.parent / "native"
-        build = src / "build"
-        build.mkdir(exist_ok=True)
-        subprocess.run(["cmake", "-S", str(src), "-B", str(build),
-                        "-G", "Ninja", "-DCMAKE_BUILD_TYPE=Release"],
-                       check=True, capture_output=True)
-        subprocess.run(["cmake", "--build", str(build)], check=True,
-                       capture_output=True)
-    lib = ctypes.CDLL(str(so))
-    lib.rir_generate.restype = None
-    lib.rir_beta_from_t60.restype = ctypes.c_int
-    lib.rir_t60_from_beta.restype = ctypes.c_double
-    _NATIVE = lib
+    from setk_tpu.utils.native import load_native
+    lib = load_native()
+    if not getattr(lib, "_rir_ready", False):
+        lib.rir_generate.restype = None
+        lib.rir_beta_from_t60.restype = ctypes.c_int
+        lib.rir_t60_from_beta.restype = ctypes.c_double
+        lib._rir_ready = True
     return lib
 
 

@@ -113,6 +113,17 @@ def test_adaptive_beamformer_cli(corpus, tmp_path):
     enh = read_wav(str(enh_dir / "utt1.wav"))
     assert _si_snr_np(enh, clean) > _si_snr_np(mix, clean) + 3
 
+    # batched executor path (prefetch loader + BatchEnhancer)
+    enh_dir2 = tmp_path / "enh_batched"
+    _cmd("apply_adaptive_beamformer").run(
+        _parse("apply_adaptive_beamformer", [
+            str(corpus / "mix.scp"), str(mask_dir / "mask.scp"),
+            str(enh_dir2), "--beamformer", "mvdr", "--fmt", "numpy",
+            "--batch-size", "2"
+        ]))
+    enh2 = read_wav(str(enh_dir2 / "utt1.wav"))
+    assert _si_snr_np(enh2, clean) > _si_snr_np(mix, clean) + 3
+
 
 def test_cgmm_pipeline_cli(corpus, tmp_path):
     mask_dir = tmp_path / "cgmm"

@@ -9,7 +9,7 @@ from setk_tpu.models.trainer import (MaskTrainer, save_checkpoint,
 from setk_tpu.parallel import make_mesh
 
 
-@pytest.mark.parametrize("arch", ["dnn", "tdnn", "lstm", "blstm"])
+@pytest.mark.parametrize("arch", ["dnn", "tdnn", "cnn-tdnn", "lstm", "blstm"])
 def test_masknet_forward_shapes(rng, arch):
     model = make_model(arch=arch, num_bins=33, hidden=32, num_layers=2)
     import jax
