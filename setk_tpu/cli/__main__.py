@@ -1,10 +1,22 @@
-"""Dispatcher: ``python -m setk_tpu.cli <command> [args...]``."""
+"""Dispatcher: ``python -m setk_tpu.cli <command> [args...]``.
+
+Set SETK_TPU_PLATFORM=cpu (or tpu/axon) to pin the jax platform: the
+axon sitecustomize imports jax at interpreter start, so JAX_PLATFORMS
+alone cannot switch platforms in a subprocess — this applies the
+override programmatically before any backend initializes.
+"""
 
 import importlib
+import os
 import pkgutil
 import sys
 
 import setk_tpu.cli as cli_pkg
+
+_platform = os.environ.get("SETK_TPU_PLATFORM")
+if _platform:
+    import jax
+    jax.config.update("jax_platforms", _platform)
 
 _EXCLUDE = {"common", "__main__"}
 
