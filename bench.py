@@ -6,7 +6,9 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Pipeline (BASELINE.json headline config): (B, 6, S) waveforms + (B, T, F)
 masks -> STFT -> mask-weighted Rs/Rn (VPU pair-loop covariance) ->
 MVDR solve per bin (power-iteration steering + Cholesky Capon solve) ->
-beamform -> iSTFT, one fused jit program.
+beamform -> iSTFT, one fused jit program.  B=128 x 8 s utterances: the
+throughput-saturating batch (amortizes the ~5-8 ms/call dispatch
+overhead of the remote runtime; B=32 x 4 s reaches only ~half of this).
 
 Timing methodology: on this TPU's remote runtime, async dispatch makes
 naive block_until_ready timing unreliable, so iterations are *chained*
@@ -23,9 +25,9 @@ import time
 
 import numpy as np
 
-B, N, SECS, SR = 32, 6, 4, 16000
+B, N, SECS, SR = 128, 6, 8, 16000
 S = SECS * SR
-ITERS = 20
+ITERS = 8
 
 # reference CPU throughput (audio-seconds/s) measured on this host
 FALLBACK_BASELINE_AS_PER_S = 29.5  # measured 2026-08-17

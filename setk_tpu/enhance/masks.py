@@ -14,7 +14,7 @@ __all__ = [
     "tangent_uncompress", "compute_mask", "MASK_TYPES"
 ]
 
-MASK_TYPES = ("irm", "ibm", "iam", "psm", "psa", "crm")
+MASK_TYPES = ("irm", "ibm", "wiener", "iam", "psm", "psa", "crm")
 
 
 def sigmoid_compress(x, a: float = 1.0, b: float = 0.0):
@@ -56,6 +56,10 @@ def compute_mask(tgt, mix, mask: str = "irm"):
         return (tgt_abs > inf_abs).astype(jnp.float32)
     if mask == "irm":
         return tgt_abs / jnp.sqrt(tgt_abs**2 + inf_abs**2 + EPSILON)
+    if mask == "wiener":
+        # the C++ layer's power-spectrum IRM
+        # (/root/reference/src/compute-masks.cc:38,110)
+        return tgt_abs**2 / (tgt_abs**2 + inf_abs**2 + EPSILON)
     if mask == "iam":
         return tgt_abs / jnp.maximum(mix_abs, EPSILON)
     if mask == "psm":

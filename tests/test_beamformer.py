@@ -209,6 +209,9 @@ def test_mask_types_parity(rng):
         psm, (np.abs(tgt) / np.abs(mix)) *
         np.cos(np.angle(mix) - np.angle(tgt)), atol=1e-4)
     assert set(np.unique(ibm)) <= {0.0, 1.0}
+    wiener = np.asarray(compute_mask(tgt, mix, "wiener"))
+    np.testing.assert_allclose(wiener, irm**2, atol=1e-5)
+    assert (wiener >= 0).all() and (wiener <= 1).all()
 
 
 def test_regularized_inverse_and_power_iteration(rng):
