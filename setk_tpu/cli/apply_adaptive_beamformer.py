@@ -19,6 +19,8 @@ from setk_tpu.enhance.vad import vad_masks, apply_vad_filter
 from setk_tpu.dsp.stft import inverse_stft
 from setk_tpu.io import SpectrogramReader, MaskReader, WaveWriter
 from setk_tpu.utils import get_logger
+from setk_tpu.utils.hostdev import put_complex
+from setk_tpu.utils.profiling import ThroughputMeter, trace
 
 logger = get_logger(__name__)
 
@@ -72,12 +74,14 @@ def _run_batched(args):
                              batch_size=args.batch_size, mesh=mesh,
                              ban=bool(args.ban))
     num_done = 0
+    meter = ThroughputMeter("adaptive-beamformer[batched]", report_every=64)
     with WaveWriter(args.dst_dir, sr=args.sr) as writer:
         norms = {}
 
         def emit(key, samps):
             peak = np.max(np.abs(samps))
             writer.write(key, samps * norms[key] / (peak + 1e-7))
+            meter.update(samps.shape[-1] / args.sr)
 
         for key, wav in reader:
             if key not in tgt_reader:
@@ -97,10 +101,16 @@ def _run_batched(args):
         for done_key, samps in enhancer.flush():
             emit(done_key, samps)
             num_done += 1
+    meter.report()
     logger.info(f"Processed {num_done} utterances (batched)")
 
 
 def run(args):
+    with trace(args.jax_profile_dir):
+        _run(args)
+
+
+def _run(args):
     if args.batch_size > 1:
         if args.chunk_size > 0 or args.itf_mask or \
                 0.5 < args.vad_proportion < 1 or args.mask:
@@ -119,6 +129,7 @@ def run(args):
                              args.pmwf_ref, args.rank1_appro, cfg)
     bucket = args.chunk_size if args.chunk_size > 0 else 64
     num_done = 0
+    meter = ThroughputMeter("adaptive-beamformer", report_every=100)
     with WaveWriter(args.dst_dir, sr=args.sr) as writer:
         for key, stft_mat in reader:
             if key not in tgt_reader:
@@ -156,11 +167,15 @@ def run(args):
             else:
                 m_n = 1.0 - m_s
             nsamps = reader.nsamps(key)
-            samps = np.asarray(pipeline(obs, m_s, m_n, nsamps))
+            # planar device transfer: complex buffers cannot cross the
+            # host<->device boundary on some runtimes (axon TPU)
+            samps = np.asarray(pipeline(put_complex(obs), m_s, m_n, nsamps))
             peak = np.max(np.abs(samps))
             samps = samps * norm / (peak + 1e-7)
             writer.write(key, samps)
+            meter.update(samps.shape[-1] / args.sr)
             num_done += 1
+    meter.report()
     logger.info(f"Processed {num_done} utterances out of {len(reader)}")
 
 
@@ -200,6 +215,9 @@ def make_parser():
                         "executor (offline path only)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard batches over the device mesh")
+    parser.add_argument("--jax-profile-dir", default="",
+                        help="Write a jax profiler trace (TensorBoard/"
+                        "XProf) of the run to this directory")
     return parser
 
 

@@ -17,6 +17,7 @@ from setk_tpu.enhance.wpe import wpe
 from setk_tpu.dsp.stft import inverse_stft
 from setk_tpu.io import SpectrogramReader, WaveWriter
 from setk_tpu.utils import get_logger
+from setk_tpu.utils.hostdev import put_complex
 
 logger = get_logger(__name__)
 
@@ -48,7 +49,7 @@ def run(args):
             obs = stft_mat.transpose(1, 0, 2).astype(np.complex64)
             obs, _ = pad_to_bucket(obs, axis=-1, bucket=64)
             nsamps = reader.nsamps(key)
-            samps = np.asarray(pipeline(obs, nsamps))  # N x S
+            samps = np.asarray(pipeline(put_complex(obs), nsamps))  # N x S
             writer.write(key, samps)
             num_done += 1
             if num_done % 100 == 0:

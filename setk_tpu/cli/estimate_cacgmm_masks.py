@@ -14,6 +14,7 @@ from setk_tpu.cli.common import StftParser, stft_config_from_args, strtobool
 from setk_tpu.enhance.cluster import cacgmm_em, permu_aligner
 from setk_tpu.io import SpectrogramReader, NumpyWriter
 from setk_tpu.utils import get_logger
+from setk_tpu.utils.hostdev import get_complex
 
 logger = get_logger(__name__)
 
@@ -46,7 +47,7 @@ def _run(args):
                 mdl_dir = Path(args.dump_model)
                 mdl_dir.mkdir(parents=True, exist_ok=True)
                 np.savez(mdl_dir / f"{key}.npz",
-                         **{k: np.asarray(v) for k, v in mdl_state.items()})
+                         **{k: get_complex(v) for k, v in mdl_state.items()})
             for i, q in enumerate(np.asarray(q_hist)):
                 logger.info(f"{key}: iter {i + 1:2d}/{args.num_iters}: "
                             f"Q = {q:.4f}")

@@ -55,7 +55,14 @@ def covar_stats(obs: jax.Array, mask: jax.Array, use_pallas=None):
                          jnp.conj(obs))
         return num, den
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # dispatch on the *active* target: under on_host() the default
+        # device is the CPU even when the process backend is a TPU, and
+        # the kernel only lowers for TPU
+        default_dev = jax.config.jax_default_device
+        if default_dev is not None:
+            use_pallas = default_dev.platform == "tpu"
+        else:
+            use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from setk_tpu.ops.pallas.covariance import masked_covar_pallas
         f, t = obs.shape[-3], obs.shape[-1]

@@ -198,9 +198,10 @@ class BatchClusterer:
             fmask[i, 0, :t] = 1.0
             lengths.append((key, t))
         em = cgmm_em if self.algo == "cgmm" else cacgmm_em
-        gamma, _ = em(obs, self.num_classes, num_iters=self.num_iters,
-                      frame_mask=fmask, key=jax.random.PRNGKey(self.seed),
-                      **self.em_kwargs)
+        from setk_tpu.utils.hostdev import put_complex
+        gamma, _ = em(put_complex(obs), self.num_classes,
+                      num_iters=self.num_iters, frame_mask=fmask,
+                      key=jax.random.PRNGKey(self.seed), **self.em_kwargs)
         gamma = np.asarray(gamma)  # (K, B, F, bucket)
         return [(key, gamma[:, i, :, :t]) for i, (key, t) in
                 enumerate(lengths)]

@@ -10,7 +10,9 @@ the accelerator by running outside this context.
 import contextlib
 import functools
 
-__all__ = ["cpu_device", "on_host"]
+import numpy as np
+
+__all__ = ["cpu_device", "on_host", "put_complex", "get_complex"]
 
 
 @functools.lru_cache(maxsize=1)
@@ -24,3 +26,47 @@ def on_host():
     import jax
     with jax.default_device(cpu_device()):
         yield
+
+
+@functools.lru_cache(maxsize=1)
+def _planar_fns():
+    import jax
+
+    @jax.jit
+    def combine(re, im):
+        return jax.lax.complex(re, im)
+
+    @jax.jit
+    def split(x):
+        return x.real, x.imag
+
+    return combine, split
+
+
+def put_complex(x: np.ndarray):
+    """Host complex array -> device complex array via planar transfer.
+
+    Some device runtimes (the axon TPU tunnel here) cannot move complex
+    buffers across the host<->device boundary; real and imaginary parts
+    ship as float planes and a jitted ``lax.complex`` rebuilds the
+    complex array on device.  Real input is passed through as-is.
+    """
+    import jax.numpy as jnp
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x)
+    combine, _ = _planar_fns()
+    wide = x.dtype == np.complex128
+    f_dtype = np.float64 if wide else np.float32
+    return combine(jnp.asarray(np.ascontiguousarray(x.real, dtype=f_dtype)),
+                   jnp.asarray(np.ascontiguousarray(x.imag, dtype=f_dtype)))
+
+
+def get_complex(x) -> np.ndarray:
+    """Device array -> host numpy, splitting complex into planes first."""
+    import jax.numpy as jnp
+    if not jnp.iscomplexobj(x):
+        return np.asarray(x)
+    _, split = _planar_fns()
+    re, im = split(x)
+    return np.asarray(re) + 1j * np.asarray(im)
