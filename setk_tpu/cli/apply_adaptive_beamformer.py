@@ -79,6 +79,13 @@ def _run_batched(args):
         norms = {}
 
         def emit(key, samps):
+            if not np.isfinite(samps).all():
+                # degenerate covariance: the reference skips the
+                # utterance on np.linalg.LinAlgError
+                # (apply_adaptive_beamformer.py:170-172); XLA solves
+                # return NaN instead of raising
+                logger.warning(f"{key}: non-finite output, skipping")
+                return
             peak = np.max(np.abs(samps))
             writer.write(key, samps * norms[key] / (peak + 1e-7))
             meter.update(samps.shape[-1] / args.sr)
@@ -170,6 +177,11 @@ def _run(args):
             # planar device transfer: complex buffers cannot cross the
             # host<->device boundary on some runtimes (axon TPU)
             samps = np.asarray(pipeline(put_complex(obs), m_s, m_n, nsamps))
+            if not np.isfinite(samps).all():
+                # degenerate covariance: the reference skips on
+                # np.linalg.LinAlgError (:170-172); XLA yields NaN
+                logger.warning(f"{key}: non-finite output, skipping")
+                continue
             peak = np.max(np.abs(samps))
             samps = samps * norm / (peak + 1e-7)
             writer.write(key, samps)

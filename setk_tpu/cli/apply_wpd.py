@@ -35,6 +35,11 @@ def _run(args):
             samps = np.asarray(
                 inverse_stft(np.asarray(enh).T, cfg,
                              nsamps=reader.nsamps(key)))
+            if not np.isfinite(samps).all():
+                # the reference skips the utterance when a per-bin
+                # solve fails (apply_wpe.py:54-56); XLA yields NaN
+                logger.warning(f"{key}: non-finite output, skipping")
+                continue
             writer.write(key, samps)
             if mask_writer:
                 mask_writer.write(key, np.asarray(mask).T.astype(np.float32))

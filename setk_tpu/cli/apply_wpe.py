@@ -50,6 +50,11 @@ def run(args):
             obs, _ = pad_to_bucket(obs, axis=-1, bucket=64)
             nsamps = reader.nsamps(key)
             samps = np.asarray(pipeline(put_complex(obs), nsamps))  # N x S
+            if not np.isfinite(samps).all():
+                # singular tap correlation: the reference skips on
+                # np.linalg.LinAlgError (apply_wpe.py:54-56)
+                logger.warning(f"{key}: non-finite output, skipping")
+                continue
             writer.write(key, samps)
             num_done += 1
             if num_done % 100 == 0:

@@ -9,6 +9,14 @@ relative error vs jnp.fft.rfft (bit-parity grade for float32 audio).
 
 The analysis/synthesis window is folded into the DFT basis, so the
 windowing multiply disappears into the matmul's HBM pass.
+
+Negative results (measured on the v5e at the bench shape, kept so they
+are not retried): (a) a PACKED basis [cos(F) | sin(F-2)] making one
+lane-aligned (n_fft, n_fft) matmul instead of two (n_fft, F) ones was
+~1.3x SLOWER (37 ms vs 30 ms) — XLA already tiles the 257-column
+matmuls well and the pad+complex repack costs more than it saves;
+(b) framing+DFT as one strided conv_general_dilated (no materialized
+frames) was ~1.7x slower (50 ms).  jnp.fft.rfft: 62 ms.
 """
 
 from functools import lru_cache

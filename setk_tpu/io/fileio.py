@@ -53,6 +53,8 @@ def _pipe_fopen(command, mode):
 def _fopen(fname, mode):
     if mode not in ("w", "r", "wb", "rb"):
         raise ValueError(f"Unknown open mode: {mode}")
+    if isinstance(fname, os.PathLike):
+        fname = os.fspath(fname)
     if not fname:
         return None
     fname = fname.strip()
@@ -72,6 +74,8 @@ def _fopen(fname, mode):
 
 @contextmanager
 def ext_open(fname, mode):
+    if isinstance(fname, os.PathLike):
+        fname = os.fspath(fname)
     fd = _fopen(fname, mode)
     try:
         yield fd
