@@ -36,17 +36,21 @@ def norm_observation(mat, axis=-1, eps=EPSILON):
 def _posterior(log_pdf, alpha, frame_mask=None):
     """Softmax posterior over the class axis (first), with priors; also
     returns the reference's Q statistic (mean log marginal likelihood,
-    over valid frames when ``frame_mask`` is given)."""
-    pdf_tf = jnp.sum(jnp.exp(log_pdf) * alpha[..., None], axis=0)
-    log_marg = jnp.log(jnp.maximum(pdf_tf, 1e-38))
+    over valid frames when ``frame_mask`` is given).
+
+    The marginal uses a max-shifted logsumexp: on real recordings the
+    near-silent bins push -M log(phi) past float32's exp range (~88), so
+    a raw exp overflows Q to +inf (the float64 reference never hits
+    this, /root/reference/scripts/sptk/libs/cluster.py:261-287)."""
+    mx = jnp.max(log_pdf, axis=0, keepdims=True)
+    num = jnp.exp(log_pdf - mx) * alpha[..., None]
+    den = jnp.maximum(jnp.sum(num, axis=0, keepdims=True), EPSILON)
+    log_marg = mx[0] + jnp.log(den[0])
     if frame_mask is None:
         q = jnp.mean(log_marg)
     else:
         fm = jnp.broadcast_to(frame_mask, log_marg.shape)
         q = jnp.sum(log_marg * fm) / jnp.maximum(jnp.sum(fm), 1.0)
-    log_pdf = log_pdf - jnp.max(log_pdf, axis=0, keepdims=True)
-    num = jnp.exp(log_pdf) * alpha[..., None]
-    den = jnp.maximum(jnp.sum(num, axis=0, keepdims=True), EPSILON)
     return num / den, q
 
 
