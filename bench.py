@@ -30,7 +30,9 @@ S = SECS * SR
 ITERS = 8
 
 # reference CPU throughput (audio-seconds/s) measured on this host
-FALLBACK_BASELINE_AS_PER_S = 29.5  # measured 2026-08-17
+# (29.5 on 2026-08-17 under load, 87.8 on 2026-08-18 idle — the live
+# measurement below supersedes this when it completes)
+FALLBACK_BASELINE_AS_PER_S = 29.5
 
 
 def _inputs():

@@ -80,6 +80,12 @@ def _cgmm_quad(obs, r_inv):
     20 batched iterations), while a statically-unrolled M^2 pair loop —
     despite winning 25x in isolation — bloats the scan body enough to
     slow the fused program ~1.7x and multiply compile time.
+
+    Second negative result (chained timing, B=8 F=257 M=6 T=250): an
+    eigenbasis-projection predict (quad = sum_y w_y^{-1} |v_y^H z|^2
+    with statically unrolled projections, no materialized R^{-1}) was
+    1.6x SLOWER than this einsum form for the whole 20-iteration scan
+    (69 ms vs 42 ms) — same fusion story, measure in context.
     """
     quad = jnp.einsum("...xt,k...xy,...yt->k...t", jnp.conj(obs), r_inv, obs)
     return jnp.maximum(jnp.abs(quad), EPSILON)
