@@ -76,3 +76,30 @@ def test_sharded_enhance_step_matches_single(rng):
         inverse_stft(jnp.swapaxes(jnp.asarray(enh), -1, -2), cfg,
                      nsamps=8192))
     np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_sharded_cgmm_step_matches_single(rng):
+    """Sharded CGMM EM (psum sufficient statistics) vs the one-device
+    cgmm_em on identical input (deterministic K=2 init)."""
+    from setk_tpu.enhance.cluster import cgmm_em
+    from setk_tpu.parallel.cluster_step import sharded_cgmm_step
+    mesh = make_mesh(8)
+    b = 2 * mesh.shape["data"]
+    f = 8 * mesh.shape["freq"]
+    t = 16 * mesh.shape["seq"]
+    m = 4
+    a1 = rng.standard_normal((b, f, m, 1)) + \
+        1j * rng.standard_normal((b, f, m, 1))
+    s1 = np.zeros((b, f, 1, t), dtype=complex)
+    s1[..., : t // 2] = (rng.standard_normal((b, f, 1, t // 2)) +
+                         1j * rng.standard_normal((b, f, 1, t // 2)))
+    obs = (a1 * s1 + 0.1 * (rng.standard_normal((b, f, m, t)) +
+                            1j * rng.standard_normal((b, f, m, t))))
+    obs = obs.astype(np.complex64)
+    step = sharded_cgmm_step(mesh, num_classes=2, num_iters=6)
+    with mesh:
+        gamma_sh, q_sh = step(obs)
+        gamma_sh, q_sh = np.asarray(gamma_sh), np.asarray(q_sh)
+    gamma_1, q_1 = cgmm_em(obs, 2, num_iters=6)
+    np.testing.assert_allclose(gamma_sh, np.asarray(gamma_1), atol=1e-3)
+    np.testing.assert_allclose(q_sh, np.asarray(q_1), atol=1e-3)
