@@ -48,6 +48,52 @@ def _diag_load(mat: jax.Array, eps_rel: float) -> jax.Array:
     return mat + (eps_rel * tr + EPSILON)[..., None, None] * eye
 
 
+def _unrolled_cholesky_solve(a: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Statically-unrolled Cholesky solve for tiny Hermitian systems.
+
+    NEGATIVE RESULT, kept as documentation (like ops/jacobi.py): although
+    isolated tiny-system solves suffer XLA's per-bin lowering, inside the
+    fused MVDR bench step this unrolled form is consistently ~27% SLOWER
+    than jnp.linalg.cholesky + solve_triangular (83 ms vs 65 ms
+    whole-pipeline, interleaved same-process A/B at B=128 F=257 N=6) —
+    the scalarized graph defeats XLA's cross-stage fusion, the same
+    in-context lesson as the EM quad einsum (enhance/cluster._cgmm_quad).
+    Not dispatched; hermitian_solve uses the XLA path everywhere.
+    a: (..., N, N) loaded Hermitian; rhs: (..., N, K) with K static.
+    """
+    n = a.shape[-1]
+    k = rhs.shape[-1]
+    low = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = a[..., j, j].real - sum(
+            (low[j][q].real**2 + low[j][q].imag**2) for q in range(j))
+        inv_d = jax.lax.rsqrt(jnp.maximum(d, EPSILON))
+        low[j][j] = inv_d  # store 1/L[j][j] (real) — only divisions used
+        for i in range(j + 1, n):
+            s = a[..., i, j]
+            for q in range(j):
+                s = s - low[i][q] * jnp.conj(low[j][q])
+            low[i][j] = s * inv_d
+    cols = []
+    for c in range(k):
+        # forward: L y = b
+        y = [None] * n
+        for i in range(n):
+            s = rhs[..., i, c]
+            for q in range(i):
+                s = s - low[i][q] * y[q]
+            y[i] = s * low[i][i]
+        # backward: L^H x = y
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for q in range(i + 1, n):
+                s = s - jnp.conj(low[q][i]) * x[q]
+            x[i] = s * low[i][i]
+        cols.append(jnp.stack(x, axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
 def hermitian_solve(a: jax.Array, b: jax.Array,
                     eps_rel: float = 1e-6) -> jax.Array:
     """Solve a x = b for Hermitian (PSD) ``a`` via Cholesky + loading.
@@ -56,11 +102,14 @@ def hermitian_solve(a: jax.Array, b: jax.Array,
     Cholesky factorization for the small (N <= 8) per-bin systems this
     domain produces; all our system matrices are (mask-weighted)
     covariances, so PD-ness under light diagonal loading is guaranteed.
+    (A statically-unrolled variant was measured slower in context — see
+    ``_unrolled_cholesky_solve``.)
     b: (..., N) vector or (..., N, K) matrix right-hand side.
     """
-    chol = jnp.linalg.cholesky(_diag_load(hermitianize(a), eps_rel))
+    loaded = _diag_load(hermitianize(a), eps_rel)
     vec = b.ndim == a.ndim - 1
     rhs = b[..., None] if vec else b
+    chol = jnp.linalg.cholesky(loaded)
     y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
     x = jax.scipy.linalg.solve_triangular(
         jnp.conj(jnp.swapaxes(chol, -1, -2)), y, lower=False)

@@ -231,3 +231,23 @@ def test_regularized_inverse_and_power_iteration(rng):
     ev = np.asarray(solve_pevd(r))
     cos = np.abs(np.sum(np.conj(pv) * ev, -1))
     assert cos.min() > 0.999
+
+
+def test_unrolled_cholesky_solve_matches_xla(rng):
+    """The documented (non-dispatched) unrolled solve stays correct."""
+    import jax.numpy as jnp
+    from setk_tpu.ops.linalg import (_unrolled_cholesky_solve, _diag_load,
+                                     hermitianize, hermitian_solve)
+    a = (rng.standard_normal((40, 6, 6)) +
+         1j * rng.standard_normal((40, 6, 6)))
+    a = (a @ np.conj(np.swapaxes(a, -1, -2))).astype(np.complex64)
+    b = (rng.standard_normal((40, 6, 2)) +
+         1j * rng.standard_normal((40, 6, 2))).astype(np.complex64)
+    loaded = np.asarray(_diag_load(hermitianize(jnp.asarray(a)), 1e-6))
+    got = np.asarray(_unrolled_cholesky_solve(jnp.asarray(loaded),
+                                              jnp.asarray(b)))
+    # residual check (solution comparison is meaningless for the odd
+    # ill-conditioned random system in float32)
+    res = np.abs(loaded @ got - b).max(axis=(-2, -1))
+    scale = np.abs(b).max(axis=(-2, -1))
+    assert (res < 1e-2 * scale).all()
