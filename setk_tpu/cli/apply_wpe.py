@@ -36,7 +36,49 @@ def _jit_wpe(taps, delay, context, iters, cfg):
     return jax.jit(pipeline, static_argnames=("nsamps",))
 
 
+def _run_batched(args):
+    """Throughput path: bucketed (B, N, S) batches through BatchWpe,
+    optionally data-parallel over the device mesh."""
+    from setk_tpu.io.prefetch import PrefetchWaveLoader
+    from setk_tpu.parallel.executor import BatchWpe
+    cfg = stft_config_from_args(args)
+    reader = PrefetchWaveLoader(args.wav_scp, sr=args.sr)
+    mesh = None
+    if args.data_parallel:
+        import jax
+        from setk_tpu.parallel import make_mesh
+        n = len(jax.devices())
+        if n > 1:
+            mesh = make_mesh(n, axis_sizes=(n, 1, 1))
+    executor = BatchWpe(cfg, taps=args.taps, delay=args.delay,
+                        context=args.context, num_iters=args.num_iters,
+                        batch_size=args.batch_size, mesh=mesh)
+    num_done = 0
+    with WaveWriter(args.dst_dir, sr=args.sr) as writer:
+
+        def emit(key, samps):
+            nonlocal num_done
+            if not np.isfinite(samps).all():
+                logger.warning(f"{key}: non-finite output, skipping")
+                return
+            writer.write(key, samps)
+            num_done += 1
+
+        for key, wav in reader:
+            if wav.ndim == 1:
+                wav = wav[None]
+            for done_key, samps in executor.add(key,
+                                                wav.astype(np.float32)):
+                emit(done_key, samps)
+        for done_key, samps in executor.flush():
+            emit(done_key, samps)
+    logger.info(f"Processed {num_done} utterances (batched)")
+
+
 def run(args):
+    if args.batch_size > 1:
+        _run_batched(args)
+        return
     cfg = stft_config_from_args(args)
     reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
     pipeline = _jit_wpe(args.taps, args.delay, args.context, args.num_iters,
@@ -74,6 +116,10 @@ def make_parser():
     parser.add_argument("--context", type=int, default=1)
     parser.add_argument("--num-iters", type=int, default=3)
     parser.add_argument("--sr", type=int, default=16000)
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="Bucketed batch execution (throughput path)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard batches over the device mesh")
     return parser
 
 

@@ -85,7 +85,10 @@ def wpe(reverb: jax.Array,
     taps_mat = compute_tap_mat(reverb, taps, delay)
 
     def step(dereverb, _):
-        lam = compute_lambda(dereverb, context=context)
+        # floor: zero-padded frames in bucketed batches give lambda = 0,
+        # and 0/0 taps would poison the tap correlations with NaN
+        lam = jnp.maximum(compute_lambda(dereverb, context=context),
+                          EPSILON)
         return wpe_step(reverb, taps_mat, lam), None
 
     dereverb, _ = jax.lax.scan(step, reverb, None, length=num_iters)
@@ -113,7 +116,8 @@ def wpd(obs: jax.Array,
     tf_mask = None
     for i in range(wpd_iters):  # static outer loop (small)
         if i == 0:
-            lam = compute_lambda(obs, context=context)
+            lam = jnp.maximum(compute_lambda(obs, context=context),
+                              EPSILON)
         else:
             lam = jnp.maximum(jnp.abs(enhanced)**2, EPSILON)
         der = wpe_step(obs, taps_mat, lam)

@@ -25,7 +25,7 @@ from setk_tpu.utils.logger import get_logger
 logger = get_logger(__name__)
 
 __all__ = ["shard_manifest", "LengthBucketer", "BatchEnhancer",
-           "BatchClusterer"]
+           "BatchClusterer", "BatchWpe"]
 
 
 def shard_manifest(keys, num_shards: int, shard_index: int):
@@ -205,3 +205,93 @@ class BatchClusterer:
         gamma = np.asarray(gamma)  # (K, B, F, bucket)
         return [(key, gamma[:, i, :, :t]) for i, (key, t) in
                 enumerate(lengths)]
+
+
+class BatchWpe:
+    """Batched WPE dereverberation over utterance buckets.
+
+    The reference loops utterances through the NumPy WPE one at a time
+    (/root/reference/scripts/sptk/apply_wpe.py); here B same-bucket
+    utterances run as one jitted STFT -> GWPE -> iSTFT program,
+    optionally data-parallel over the mesh ``data`` axis.  Zero-padded
+    tails are harmless: the floored lambda keeps their taps at zero
+    weight (enhance/wpe.py).
+    """
+
+    def __init__(self,
+                 cfg: StftConfig,
+                 taps: int = 10,
+                 delay: int = 3,
+                 context: int = 1,
+                 num_iters: int = 3,
+                 batch_size: int = 8,
+                 mesh=None,
+                 samples_per_bucket: int = 16384):
+        self.cfg = cfg
+        self.taps = taps
+        self.delay = delay
+        self.context = context
+        self.num_iters = num_iters
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.bucketer = LengthBucketer(cfg, samples_per_bucket)
+        self._pending = defaultdict(list)
+
+    @lru_cache(maxsize=None)
+    def _fn(self, nsamps):
+        import jax
+        import jax.numpy as jnp
+        from setk_tpu.dsp.stft import forward_stft, inverse_stft
+        from setk_tpu.enhance.wpe import wpe
+
+        def fn(wav):
+            spec = forward_stft(wav, self.cfg)  # (B, N, T, F)
+            obs = jnp.transpose(spec, (0, 3, 1, 2))  # (B, F, N, T)
+            der = wpe(obs, taps=self.taps, delay=self.delay,
+                      context=self.context, num_iters=self.num_iters)
+            return inverse_stft(jnp.transpose(der, (0, 2, 3, 1)),
+                                self.cfg, nsamps=nsamps)  # (B, N, S)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P("data"))
+            return jax.jit(fn, in_shardings=(sharding,),
+                           out_shardings=sharding)
+        return jax.jit(fn)
+
+    def _data_multiple(self):
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape.get("data", 1))
+
+    def add(self, key, wav: np.ndarray):
+        """Queue one utterance (N, S); returns flushed (key, (N, S))."""
+        n_ch, nsamps = wav.shape
+        bucket = self.bucketer.bucket(nsamps)
+        self._pending[(n_ch, bucket)].append((key, wav))
+        if len(self._pending[(n_ch, bucket)]) >= self.batch_size:
+            return self._flush_bucket((n_ch, bucket))
+        return []
+
+    def flush(self):
+        out = []
+        for shape in list(self._pending):
+            out.extend(self._flush_bucket(shape))
+        return out
+
+    def _flush_bucket(self, shape):
+        items = self._pending.pop(shape, [])
+        if not items:
+            return []
+        n_ch, bucket = shape
+        batch = len(items)
+        mult = self._data_multiple()
+        full = -(-batch // mult) * mult
+        wavs = np.zeros((full, n_ch, bucket), dtype=np.float32)
+        lengths = []
+        for i, (key, wav) in enumerate(items):
+            s = wav.shape[-1]
+            wavs[i, :, :s] = wav
+            lengths.append((key, s))
+        out = np.asarray(self._fn(bucket)(wavs))
+        return [(key, out[i, :, :s]) for i, (key, s) in enumerate(lengths)]
