@@ -4,9 +4,10 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Pipeline (BASELINE.json headline config): (B, 6, S) waveforms + (B, T, F)
-masks -> STFT -> mask-weighted Rs/Rn (VPU pair-loop covariance) ->
-MVDR solve per bin (power-iteration steering + Cholesky Capon solve) ->
-beamform -> iSTFT, one fused jit program.  B=128 x 8 s utterances: the
+masks -> STFT (MXU matmul DFT, 3-pass bf16 precision: 94.9 dB SNR vs
+highest) -> mask-weighted Rs/Rn (Pallas covariance kernel) -> MVDR
+solve per bin (power-iteration steering + Capon solve) -> beamform
+-> iSTFT, one fused jit program.  B=128 x 8 s utterances: the
 throughput-saturating batch (amortizes the ~5-8 ms/call dispatch
 overhead of the remote runtime; B=32 x 4 s reaches only ~half of this).
 

@@ -26,7 +26,8 @@ from setk_tpu.utils.common import EPSILON
 from setk_tpu.ops.linalg import solve_pevd, hermitianize, hermitian_solve
 
 __all__ = [
-    "compute_covar", "do_ban", "beamform", "beam_pattern", "rank1_constraint",
+    "compute_covar", "covar_stats",
+    "do_ban", "beamform", "beam_pattern", "rank1_constraint",
     "ds_weights", "sd_weights", "mvdr_weights", "mpdr_weights", "gevd_weights",
     "pmwf_weights", "supervised_run", "online_supervised_run", "WEIGHT_FNS"
 ]
@@ -55,14 +56,7 @@ def covar_stats(obs: jax.Array, mask: jax.Array, use_pallas=None):
                          jnp.conj(obs))
         return num, den
     if use_pallas is None:
-        # dispatch on the *active* target: under on_host() the default
-        # device is the CPU even when the process backend is a TPU, and
-        # the kernel only lowers for TPU
-        default_dev = jax.config.jax_default_device
-        if default_dev is not None:
-            use_pallas = default_dev.platform == "tpu"
-        else:
-            use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _use_pallas_default()
     if use_pallas:
         from setk_tpu.ops.pallas.covariance import masked_covar_pallas
         f, t = obs.shape[-3], obs.shape[-1]
@@ -94,6 +88,16 @@ def covar_stats(obs: jax.Array, mask: jax.Array, use_pallas=None):
         rows.append(cols)
     num = jnp.stack([jnp.stack(c, axis=-1) for c in rows], axis=-2)
     return num, den
+
+
+def _use_pallas_default() -> bool:
+    """Dispatch on the *active* target: under on_host() the default
+    device is the CPU even when the process backend is a TPU, and the
+    Pallas kernels only lower for TPU."""
+    default_dev = jax.config.jax_default_device
+    if default_dev is not None:
+        return default_dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def compute_covar(obs: jax.Array,
@@ -291,6 +295,12 @@ def supervised_run(beamformer: str,
     (/root/reference/scripts/sptk/libs/beamformer.py:270-283,573-590);
     masks and obs use the canonical (..., F, T) / (..., F, N, T) layouts.
     """
+    # NOTE: a fused "pair" covariance kernel computing Rn as
+    # total - masked from one observation read was tried and REVERTED:
+    # the stage is VPU-compute-bound (not HBM-bound), so the fusion won
+    # nothing, and the subtraction cancels catastrophically for oracle
+    # masks ~1 (Rn goes indefinite -> Cholesky NaN).  The literal
+    # sum_t (1-m) y y^H stays PSD.
     rs = compute_covar(obs, mask_s)
     rn = compute_covar(obs, 1 - mask_s if mask_n is None else mask_n)
     if beamformer in ("mpdr", "mpdr-whiten"):

@@ -24,8 +24,8 @@ def _write_raw(path, samps, bits, fmt_code, sr=16000):
         data = np.clip(np.round(inter * 32768), -32768,
                        32767).astype("<i2").tobytes()
     elif bits == 32:
-        data = np.clip(np.round(inter * 2147483648), -2**31,
-                       2**31 - 1).astype("<i4").tobytes()
+        data = np.clip(np.round(inter.astype(np.float64) * 2147483648),
+                       -2**31, 2**31 - 1).astype("<i4").tobytes()
     elif bits == 24:
         v = np.clip(np.round(inter * (1 << 23)), -(1 << 23),
                     (1 << 23) - 1).astype("<i4")
