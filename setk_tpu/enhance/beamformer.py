@@ -195,7 +195,8 @@ def sd_weights(steer: jax.Array, diffuse_rn: jax.Array) -> jax.Array:
 
 def mvdr_weights(rs: jax.Array, rn: jax.Array,
                  steer: str = "eigh",
-                 power_iters: int = 15) -> jax.Array:
+                 power_iters: int = 15,
+                 use_pallas: bool | None = None) -> jax.Array:
     """MVDR with steer vector from the principal eigenvector of Rs.
 
     Parity: /root/reference/scripts/sptk/libs/beamformer.py:515-539 (plus
@@ -205,9 +206,18 @@ def mvdr_weights(rs: jax.Array, rn: jax.Array,
     ``steer="power"`` swaps the full eigendecomposition for fixed-count
     power iteration — speech PSDs are rank-1 dominated, and the batched
     matvecs run on the VPU at a fraction of eigh's cost (the production
-    fast path; "eigh" is the reference-exact default).
+    fast path; "eigh" is the reference-exact default).  On the TPU backend
+    the power path further dispatches to the fused Pallas solve
+    (ops/pallas/mvdr.py: steer + Cholesky Capon in one VMEM pass), which
+    replaces the XLA batched small-matrix cholesky/triangular_solve — the
+    single most expensive stage of the bench step.
     """
     if steer == "power":
+        if use_pallas is None:
+            use_pallas = _use_pallas_default()
+        if use_pallas and rs.shape[-1] <= 8:
+            from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas
+            return mvdr_power_pallas(rs, rn, power_iters=power_iters)
         from setk_tpu.ops.linalg import power_iteration
         vec = power_iteration(hermitianize(rs), num_iters=power_iters)
     else:

@@ -1,10 +1,12 @@
-"""Pallas covariance kernel tests (interpreter mode on CPU)."""
+"""Pallas kernel tests (interpreter mode on CPU)."""
 
 import numpy as np
 
-from setk_tpu.enhance.beamformer import compute_covar, covar_stats
+from setk_tpu.enhance.beamformer import (compute_covar, covar_stats,
+                                         mvdr_weights)
 from setk_tpu.ops.pallas.covariance import (compute_covar_pallas,
                                             masked_covar_pallas)
+from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas
 
 
 def _obs(rng, b=2, f=24, n=4, t=96):
@@ -39,6 +41,31 @@ def test_planar_outputs_hermitian(rng):
     np.testing.assert_allclose(num, np.conj(np.swapaxes(num, -1, -2)),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(den), mask.sum(-1), atol=1e-4)
+
+
+def test_mvdr_kernel_matches_xla(rng):
+    """Fused steer+Capon kernel vs the XLA power-iteration path."""
+    obs, mask = _obs(rng, b=2, f=37, n=6, t=128)
+    rs = compute_covar(obs, mask)
+    rn = compute_covar(obs, 1 - mask)
+    ref = np.asarray(mvdr_weights(rs, rn, steer="power", use_pallas=False))
+    got = np.asarray(mvdr_power_pallas(rs, rn, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-4)
+
+
+def test_mvdr_kernel_distortionless(rng):
+    """w^H d = 1 on the (phase-anchored) steer direction."""
+    obs, mask = _obs(rng, b=1, f=16, n=4, t=96)
+    rs = compute_covar(obs, mask)
+    rn = compute_covar(obs, 1 - mask)
+    w = np.asarray(mvdr_power_pallas(rs, rn, interpret=True))
+    from setk_tpu.ops.linalg import power_iteration, hermitianize
+    from setk_tpu.enhance.beamformer import fix_steer_phase
+    d = np.asarray(fix_steer_phase(power_iteration(hermitianize(rs),
+                                                   num_iters=15)))
+    resp = np.sum(np.conj(w) * d, axis=-1)
+    np.testing.assert_allclose(resp, np.ones_like(resp), rtol=1e-3,
+                               atol=1e-3)
 
 
 def test_covar_stats_broadcast_parity(rng):
