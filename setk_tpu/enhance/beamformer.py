@@ -26,7 +26,7 @@ from setk_tpu.utils.common import EPSILON
 from setk_tpu.ops.linalg import solve_pevd, hermitianize, hermitian_solve
 
 __all__ = [
-    "compute_covar", "covar_stats",
+    "compute_covar", "compute_covar_pair", "covar_stats",
     "do_ban", "beamform", "beam_pattern", "rank1_constraint",
     "ds_weights", "sd_weights", "mvdr_weights", "mpdr_weights", "gevd_weights",
     "pmwf_weights", "supervised_run", "online_supervised_run", "WEIGHT_FNS"
@@ -110,6 +110,35 @@ def compute_covar(obs: jax.Array,
     """
     num, den = covar_stats(obs, mask)
     return num / jnp.maximum(den, denom_floor)[..., None, None]
+
+
+def compute_covar_pair(obs: jax.Array,
+                       mask_s: jax.Array,
+                       mask_n: jax.Array | None = None,
+                       denom_floor: float = 1e-6,
+                       use_pallas: bool | None = None):
+    """(Rs, Rn) from one observation read — the supervised-run hot path.
+
+    Equivalent to two ``compute_covar`` calls with mask_s and
+    (1 - mask_s | mask_n), but on the TPU backend dispatches to the
+    fused pair kernel (ops/pallas/covariance_pair.py): the x_a conj(y_b)
+    products are shared between both covariances, the reduction runs
+    over the sublane (T) axis, and the (B, N, T, F) internal layout
+    cancels the caller's STFT transpose.  Each mask multiplies the pair
+    products elementwise before reduction, so Rn keeps the PSD-ness of
+    the literal sum (no total-minus-masked cancellation).
+    """
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas and obs.shape[-2] <= 8:
+        from setk_tpu.ops.pallas.covariance_pair import \
+            compute_covar_pair_pallas
+        return compute_covar_pair_pallas(obs, mask_s, mask_n,
+                                         denom_floor=denom_floor)
+    rs = compute_covar(obs, mask_s, denom_floor)
+    rn = compute_covar(obs, 1 - mask_s if mask_n is None else mask_n,
+                       denom_floor)
+    return rs, rn
 
 
 def beamform(weight: jax.Array, obs: jax.Array) -> jax.Array:
@@ -305,14 +334,12 @@ def supervised_run(beamformer: str,
     (/root/reference/scripts/sptk/libs/beamformer.py:270-283,573-590);
     masks and obs use the canonical (..., F, T) / (..., F, N, T) layouts.
     """
-    # NOTE: a fused "pair" covariance kernel computing Rn as
-    # total - masked from one observation read was tried and REVERTED:
-    # the stage is VPU-compute-bound (not HBM-bound), so the fusion won
-    # nothing, and the subtraction cancels catastrophically for oracle
-    # masks ~1 (Rn goes indefinite -> Cholesky NaN).  The literal
-    # sum_t (1-m) y y^H stays PSD.
-    rs = compute_covar(obs, mask_s)
-    rn = compute_covar(obs, 1 - mask_s if mask_n is None else mask_n)
+    # compute_covar_pair shares the pair products between Rs and Rn but
+    # keeps each mask's multiply *elementwise before reduction* — an
+    # earlier fusion computing Rn = total - masked at the accumulator
+    # level went indefinite for oracle masks ~1 (Cholesky NaN) and was
+    # reverted; the literal sum_t (1-m) y y^H stays PSD.
+    rs, rn = compute_covar_pair(obs, mask_s, mask_n)
     if beamformer in ("mpdr", "mpdr-whiten"):
         ry = compute_covar(obs, jnp.ones_like(mask_s))
         weight = mpdr_weights(rs, ry,

@@ -68,6 +68,36 @@ def test_mvdr_kernel_distortionless(rng):
                                atol=1e-3)
 
 
+def test_pair_covar_kernel_matches_two_calls(rng):
+    from setk_tpu.ops.pallas.covariance_pair import compute_covar_pair_pallas
+    obs, mask = _obs(rng, b=2, f=37, n=6, t=100)
+    rs_ref = np.asarray(compute_covar(obs, mask))
+    rn_ref = np.asarray(compute_covar(obs, 1 - mask))
+    rs, rn = compute_covar_pair_pallas(obs, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(rs), rs_ref, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rn), rn_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pair_covar_explicit_interference_mask(rng):
+    from setk_tpu.ops.pallas.covariance_pair import compute_covar_pair_pallas
+    obs, mask = _obs(rng, b=1, f=16, n=4, t=64)
+    mask_n = np.random.default_rng(3).random((1, 16, 64)).astype(np.float32)
+    _, rn = compute_covar_pair_pallas(obs, mask, mask_n, interpret=True)
+    rn_ref = np.asarray(compute_covar(obs, mask_n))
+    np.testing.assert_allclose(np.asarray(rn), rn_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pair_covar_oracle_mask_stays_psd(rng):
+    """Near-one masks: Rn from the literal (1-m) sum must stay PSD."""
+    from setk_tpu.ops.pallas.covariance_pair import compute_covar_pair_pallas
+    obs, _ = _obs(rng, b=1, f=8, n=4, t=64)
+    mask = 1.0 - 1e-6 * rng.random((1, 8, 64)).astype(np.float32)
+    _, rn = compute_covar_pair_pallas(obs, mask.astype(np.float32),
+                                      interpret=True)
+    evs = np.linalg.eigvalsh(np.asarray(rn))
+    assert evs.min() > -1e-5, f"Rn indefinite: min eig {evs.min()}"
+
+
 def test_covar_stats_broadcast_parity(rng):
     """K-class broadcast (cluster EM shape) through both backends."""
     obs, _ = _obs(rng, b=1, f=16, n=3, t=48)
