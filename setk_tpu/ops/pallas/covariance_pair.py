@@ -31,7 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pair_covar_pallas", "compute_covar_pair_pallas"]
+__all__ = [
+    "pair_covar_pallas", "pair_covar_complement_pallas",
+    "compute_covar_pair_pallas"
+]
 
 _LANES = 128
 
@@ -62,6 +65,74 @@ def _pair_kernel(n_mics, obs_re_ref, obs_im_ref, ms_ref, mn_ref, rs_re_ref,
                 rs_im_ref[0, b, a] = -s_im
                 rn_re_ref[0, b, a] = n_re
                 rn_im_ref[0, b, a] = -n_im
+
+
+def _pair_kernel_complement(n_mics, n_valid_t, obs_re_ref, obs_im_ref,
+                            ms_ref, rs_re_ref, rs_im_ref, rn_re_ref,
+                            rn_im_ref):
+    """Variant computing mask_n = (1 - mask_s) in VMEM, restricted to the
+    first ``n_valid_t`` (unpadded) frames — saves the second mask read
+    for the default-complement case of the planar fast path."""
+    ms = ms_ref[0]  # (T, 128)
+    t = ms.shape[0]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (t, ms.shape[1]), 0)
+             < n_valid_t).astype(jnp.float32)
+    mn = (1.0 - ms) * valid
+    for a in range(n_mics):
+        xa_re = obs_re_ref[0, a]
+        xa_im = obs_im_ref[0, a]
+        for b in range(a, n_mics):
+            yb_re = obs_re_ref[0, b]
+            yb_im = obs_im_ref[0, b]
+            p_re = xa_re * yb_re + xa_im * yb_im
+            p_im = xa_im * yb_re - xa_re * yb_im
+            s_re = jnp.sum(ms * p_re, axis=0)
+            s_im = jnp.sum(ms * p_im, axis=0)
+            n_re = jnp.sum(mn * p_re, axis=0)
+            n_im = jnp.sum(mn * p_im, axis=0)
+            rs_re_ref[0, a, b] = s_re
+            rs_im_ref[0, a, b] = s_im
+            rn_re_ref[0, a, b] = n_re
+            rn_im_ref[0, a, b] = n_im
+            if b != a:
+                rs_re_ref[0, b, a] = s_re
+                rs_im_ref[0, b, a] = -s_im
+                rn_re_ref[0, b, a] = n_re
+                rn_im_ref[0, b, a] = -n_im
+
+
+@partial(jax.jit, static_argnames=("n_valid_t", "interpret"))
+def pair_covar_complement_pallas(obs_re: jax.Array, obs_im: jax.Array,
+                                 mask_s: jax.Array, n_valid_t: int,
+                                 interpret: bool = False):
+    """Fused (Rs, Rn) numerators with mask_n = 1 - mask_s computed
+    in-kernel over the first ``n_valid_t`` frames.
+
+    obs (B, N, T_pad, F_pad) planar f32 (exact-zero F padding, e.g. from
+    ops/pallas/stft.forward_stft_pallas_planar), mask (B, T_pad, F_pad)
+    zero-padded.  Returns four (B, N, N, F_pad) planes.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    b, n, t, f = obs_re.shape
+    if f % _LANES:
+        raise ValueError(f"F={f} not a multiple of {_LANES}")
+    grid = (b, f // _LANES)
+    obs_spec = pl.BlockSpec((1, n, t, _LANES), lambda i, j: (i, 0, 0, j),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, t, _LANES), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n, n, _LANES), lambda i, j: (i, 0, 0, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, n, n, f), jnp.float32)
+    return pl.pallas_call(
+        partial(_pair_kernel_complement, n, n_valid_t),
+        grid=grid,
+        in_specs=[obs_spec, obs_spec, mask_spec],
+        out_specs=[out_spec] * 4,
+        out_shape=[out_shape] * 4,
+        interpret=interpret,
+    )(obs_re, obs_im, mask_s)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -98,6 +98,45 @@ def test_pair_covar_oracle_mask_stays_psd(rng):
     assert evs.min() > -1e-5, f"Rn indefinite: min eig {evs.min()}"
 
 
+def test_pallas_stft_matches_fft(rng):
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig, forward_stft
+    from setk_tpu.ops.pallas.stft import (forward_stft_pallas,
+                                          forward_stft_pallas_planar)
+    cfg = StftConfig()
+    w = jnp.asarray(rng.standard_normal((2, 3, 16000)).astype(np.float32))
+    ref = np.asarray(forward_stft(w, cfg, impl="fft"))
+    got = np.asarray(forward_stft_pallas(w, cfg, interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    re, im = forward_stft_pallas_planar(w, cfg, interpret=True)
+    # F padding must be exact zeros (zero basis columns) for the
+    # covariance kernel's layout contract
+    assert float(np.abs(np.asarray(re)[..., cfg.num_bins:]).max()) == 0.0
+    assert float(np.abs(np.asarray(im)[..., cfg.num_bins:]).max()) == 0.0
+
+
+def test_planar_pipeline_matches_xla(rng):
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig, forward_stft, inverse_stft
+    from setk_tpu.enhance import beamformer as bf
+    from setk_tpu.enhance.pipeline import mvdr_enhance_planar
+    cfg = StftConfig()
+    B, N, S = 2, 4, 16000
+    wav = jnp.asarray(rng.standard_normal((B, N, S)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.random((B, cfg.num_frames(S), cfg.num_bins)).astype(np.float32))
+    out_p = np.asarray(mvdr_enhance_planar(wav, mask, cfg, interpret=True))
+    spec = forward_stft(wav, cfg)
+    obs = jnp.transpose(spec, (0, 3, 1, 2))
+    mk = jnp.transpose(mask, (0, 2, 1))
+    rs, rn = bf.compute_covar_pair(obs, mk, use_pallas=False)
+    wt = bf.mvdr_weights(rs, rn, steer="power", use_pallas=False)
+    enh = bf.beamform(wt, obs)
+    out_r = np.asarray(
+        inverse_stft(jnp.swapaxes(enh, -1, -2), cfg, nsamps=S))
+    assert np.abs(out_p - out_r).max() / np.abs(out_r).max() < 1e-3
+
+
 def test_covar_stats_broadcast_parity(rng):
     """K-class broadcast (cluster EM shape) through both backends."""
     obs, _ = _obs(rng, b=1, f=16, n=3, t=48)
