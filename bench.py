@@ -5,11 +5,12 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Pipeline (BASELINE.json headline config): (B, 6, S) waveforms + (B, T, F)
 masks -> STFT (MXU matmul DFT, 3-pass bf16 precision: 94.9 dB SNR vs
-highest) -> mask-weighted Rs/Rn (Pallas covariance kernel) -> MVDR
-solve per bin (power-iteration steering + Capon solve) -> beamform
--> iSTFT, one fused jit program.  B=128 x 8 s utterances: the
-throughput-saturating batch (amortizes the ~5-8 ms/call dispatch
-overhead of the remote runtime; B=32 x 4 s reaches only ~half of this).
+highest) -> fused Rs/Rn pair covariance (Pallas, one obs read) -> fused
+MVDR weight solve (Pallas: power-iteration steer + unrolled complex
+Cholesky Capon, one bin per lane) -> beamform -> iSTFT, one jit
+program.  B=128 x 8 s utterances: the throughput-saturating batch
+(amortizes the ~5-8 ms/call dispatch overhead of the remote runtime;
+B=32 x 4 s reaches only ~half of this).
 
 Timing methodology: on this TPU's remote runtime, async dispatch makes
 naive block_until_ready timing unreliable, so iterations are *chained*
@@ -60,8 +61,7 @@ def measure_tpu():
         spec = forward_stft(w, cfg)
         obs = jnp.transpose(spec, (0, 3, 1, 2))
         mk = jnp.transpose(m, (0, 2, 1))
-        rs = bf.compute_covar(obs, mk)
-        rn = bf.compute_covar(obs, 1 - mk)
+        rs, rn = bf.compute_covar_pair(obs, mk)
         wt = bf.mvdr_weights(rs, rn, steer="power")
         enh = bf.beamform(wt, obs)
         out = inverse_stft(jnp.swapaxes(enh, -1, -2), cfg, nsamps=S)
