@@ -10,7 +10,7 @@ batched ``jnp.linalg.solve`` and epochs run under ``lax.scan``.
 import jax
 import jax.numpy as jnp
 
-from setk_tpu.utils.common import EPSILON
+from setk_tpu.utils.common import EPSILON, GRAM_PRECISION
 
 __all__ = ["auxiva"]
 
@@ -28,12 +28,15 @@ def auxiva(spectra: jax.Array, epochs: int = 20) -> jax.Array:
         gr = 1.0 / (r.T + EPSILON)  # N x T
         for src in range(n):  # static unroll, N is small
             # weighted covariance for this source: F x N x N
-            v = jnp.einsum("t,ftx,fty->fxy", gr[src], x, jnp.conj(x)) / t
+            v = jnp.einsum("t,ftx,fty->fxy", gr[src], x, jnp.conj(x),
+                           precision=GRAM_PRECISION) / t
             # IP update: solve (W^H V) w = e_src per bin
-            wh_v = jnp.einsum("fxn,fxy->fny", jnp.conj(w), v)
+            wh_v = jnp.einsum("fxn,fxy->fny", jnp.conj(w), v,
+                              precision=GRAM_PRECISION)
             rhs = jnp.broadcast_to(eye[:, src], (f, n))
             wn = jnp.linalg.solve(wh_v, rhs[..., None])[..., 0]
-            denom = jnp.einsum("fx,fxy,fy->f", jnp.conj(wn), v, wn)
+            denom = jnp.einsum("fx,fxy,fy->f", jnp.conj(wn), v, wn,
+                               precision=GRAM_PRECISION)
             w = w.at[:, :, src].set(wn / denom[:, None])
         return w, None
 

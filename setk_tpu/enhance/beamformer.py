@@ -94,10 +94,8 @@ def _use_pallas_default() -> bool:
     """Dispatch on the *active* target: under on_host() the default
     device is the CPU even when the process backend is a TPU, and the
     Pallas kernels only lower for TPU."""
-    default_dev = jax.config.jax_default_device
-    if default_dev is not None:
-        return default_dev.platform == "tpu"
-    return jax.default_backend() == "tpu"
+    from setk_tpu.utils.hostdev import tpu_target
+    return tpu_target()
 
 
 def compute_covar(obs: jax.Array,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from setk_tpu.utils.common import EPSILON
+from setk_tpu.utils.common import EPSILON, GRAM_PRECISION
 from setk_tpu.ops.linalg import hermitianize, regularized_inverse
 
 __all__ = [
@@ -136,10 +136,12 @@ def cgmm_em(obs: jax.Array,
         covar = _weighted_covar(obs, g) / den[..., None]
     elif num_classes == 2:
         if fm is None:
-            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs)) / t
+            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs),
+                            precision=GRAM_PRECISION) / t
         else:
             mobs = obs * fm[..., None, :]
-            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs)) /
+            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs),
+                             precision=GRAM_PRECISION) /
                   jnp.maximum(jnp.sum(fm, -1), 1.0)[..., None, None])
         rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
         covar = jnp.stack([rs, rn])
@@ -235,11 +237,13 @@ def cacgmm_em(obs: jax.Array,
         gamma, kernel, _ = _cacgmm_predict(obs, covar, alpha)
     elif cgmm_init and num_classes == 2:
         if frame_mask is None:
-            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs)) / t
+            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs),
+                            precision=GRAM_PRECISION) / t
         else:
             fm0 = jnp.asarray(frame_mask)
             mobs = obs * fm0[..., None, :]
-            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs)) /
+            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs),
+                             precision=GRAM_PRECISION) /
                   jnp.maximum(jnp.sum(fm0, -1), 1.0)[..., None, None])
         rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
         covar = jnp.stack([rs, rn])

@@ -11,7 +11,7 @@ axes) solve in one batched ``jnp.linalg.solve``; iterations are a
 import jax
 import jax.numpy as jnp
 
-from setk_tpu.utils.common import EPSILON
+from setk_tpu.utils.common import EPSILON, GRAM_PRECISION
 from setk_tpu.enhance import beamformer as bf
 from setk_tpu.enhance.cluster import cgmm_em
 from setk_tpu.ops.linalg import solve_pevd, hermitian_solve
@@ -67,10 +67,13 @@ def wpe_step(reverb: jax.Array, taps_mat: jax.Array,
     Parity: /root/reference/scripts/sptk/libs/wpe.py:58-77.
     """
     yn = taps_mat / lambda_[..., None, :]
-    corr = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(taps_mat))
-    cross = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(reverb))
+    corr = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(taps_mat),
+                      precision=GRAM_PRECISION)
+    cross = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(reverb),
+                       precision=GRAM_PRECISION)
     filt = hermitian_solve(corr, cross)  # (..., F, NK, N)
-    return reverb - jnp.einsum("...na,...nb->...ab", jnp.conj(filt), taps_mat)
+    return reverb - jnp.einsum("...na,...nb->...ab", jnp.conj(filt),
+                               taps_mat, precision=GRAM_PRECISION)
 
 
 def wpe(reverb: jax.Array,
@@ -125,7 +128,7 @@ def wpd(obs: jax.Array,
                            update_alpha=update_alpha)
         tf_mask = gamma[0]  # speech class (sample-covariance init)
         rd = jnp.einsum("...nt,...mt->...nm", der / lam[..., None, :],
-                        jnp.conj(der)) / t
+                        jnp.conj(der), precision=GRAM_PRECISION) / t
         rs = bf.compute_covar(der, tf_mask)
         steer = bf.fix_steer_phase(solve_pevd(rs))
         num = hermitian_solve(rd, steer)

@@ -10,6 +10,8 @@ with visualize_angular_spectrum.py).
 import jax
 import jax.numpy as jnp
 
+from setk_tpu.utils.common import GRAM_PRECISION
+
 __all__ = ["ml_ssl", "srp_ssl", "music_ssl"]
 
 
@@ -88,7 +90,8 @@ def music_ssl(stft: jax.Array,
     if mask is None:
         mask = jnp.ones((t, f))
     obs = jnp.transpose(stft * mask, (2, 0, 1))  # F x M x T
-    covar = jnp.einsum("...at,...bt->...ab", obs, jnp.conj(obs)) / t
+    covar = jnp.einsum("...at,...bt->...ab", obs, jnp.conj(obs),
+                       precision=GRAM_PRECISION) / t
     from setk_tpu.ops.linalg import eigh as _eigh
     _, vecs = _eigh(covar)
     noise_sub = vecs[..., :-1]

@@ -13,6 +13,15 @@ import numpy as np
 EPSILON = float(np.finfo(np.float32).eps)
 MAX_INT16 = np.iinfo(np.int16).max
 
+# MXU matmul precision for Gram matrices feeding Cholesky/EVD.  TPU
+# einsums default to bf16 passes; a ~1e-2-relative error on a
+# near-singular tap/weighted covariance swamps the 1e-6-relative
+# diagonal loading and turns the matrix indefinite (Cholesky -> NaN,
+# observed on WPE tap correlations of tonal signals).  These Gram
+# accumulations are tiny-FLOP next to their pipelines, so full-f32
+# passes cost nothing measurable.
+GRAM_PRECISION = "highest"
+
 
 def nextpow2(n: int) -> int:
     """Smallest power of two >= n."""

@@ -12,7 +12,23 @@ import functools
 
 import numpy as np
 
-__all__ = ["cpu_device", "on_host", "put_complex", "get_complex"]
+__all__ = [
+    "cpu_device", "on_host", "put_complex", "get_complex", "tpu_target"
+]
+
+
+def tpu_target() -> bool:
+    """True when the *active* default device targets a TPU.
+
+    Under on_host() the default device is the CPU even when the process
+    backend is a TPU; Pallas kernels only lower for TPU, so auto
+    dispatchers key off this.
+    """
+    import jax
+    default_dev = jax.config.jax_default_device
+    if default_dev is not None:
+        return default_dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 @functools.lru_cache(maxsize=1)
