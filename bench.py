@@ -4,18 +4,21 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Pipeline (BASELINE.json headline config): (B, 6, S) waveforms + (B, T, F)
-masks -> STFT (MXU matmul DFT, 3-pass bf16 precision: 94.9 dB SNR vs
-highest) -> fused Rs/Rn pair covariance (Pallas, one obs read) -> fused
-MVDR weight solve (Pallas: power-iteration steer + unrolled complex
-Cholesky Capon, one bin per lane) -> beamform -> iSTFT, one jit
-program.  B=128 x 8 s utterances: the throughput-saturating batch
-(amortizes the ~5-8 ms/call dispatch overhead of the remote runtime;
-B=32 x 4 s reaches only ~half of this).
+masks through enhance_batch's TPU default, the fully-fused planar
+pipeline (enhance/pipeline.py): pad-free fused framing+DFT STFT kernel
+(3-pass bf16 precision: 94.9 dB SNR vs highest) -> fused Rs/Rn pair
+covariance (Pallas, one obs read, exact-lane F_HALF planes + Nyquist
+sidecar) -> fused MVDR weight solve (Pallas: power-iteration steer +
+unrolled complex Cholesky Capon, one bin per lane) -> beamform ->
+iSTFT, one jit program.  B=128 x 8 s utterances: the
+throughput-saturating batch (amortizes the ~5-8 ms/call dispatch
+overhead of the remote runtime; B=32 x 4 s reaches only ~half of this).
 
 Timing methodology: on this TPU's remote runtime, async dispatch makes
 naive block_until_ready timing unreliable, so iterations are *chained*
-(each call consumes the previous output) and the chain is forced by a
-scalar reduction to host; compile time is excluded.
+(each call's mask input consumes the previous output — the mask, not
+the waveform, so the chain itself costs ~0.2 GB/step not ~0.8) and the
+chain is forced by a scalar reduction to host; compile time excluded.
 
 vs_baseline compares against the reference's per-utterance NumPy path on
 this host's CPU (the reference publishes no numbers — BASELINE.md).
@@ -52,29 +55,24 @@ def _inputs():
 def measure_tpu():
     import jax
     import jax.numpy as jnp
-    from setk_tpu.dsp.stft import forward_stft, inverse_stft
-    from setk_tpu.enhance import beamformer as bf
+    from setk_tpu.parallel.enhance_step import enhance_batch
     cfg, wav, mask = _inputs()
 
     @jax.jit
-    def step(w, m):
-        spec = forward_stft(w, cfg)
-        obs = jnp.transpose(spec, (0, 3, 1, 2))
-        mk = jnp.transpose(m, (0, 2, 1))
-        rs, rn = bf.compute_covar_pair(obs, mk)
-        wt = bf.mvdr_weights(rs, rn, steer="power")
-        enh = bf.beamform(wt, obs)
-        out = inverse_stft(jnp.swapaxes(enh, -1, -2), cfg, nsamps=S)
-        # chain: feed the output back so iterations serialize on device
-        return w * 0.999 + out[:, None, :] * 1e-6
+    def step(m, w):
+        out = enhance_batch(w, m, cfg, beamformer="mvdr")
+        # chain through the SMALL mask so iterations serialize on device
+        # without re-reading/re-writing the (B, N, S) waveforms each
+        # step (a wav-chain adds ~790 MB/step of artifact traffic)
+        return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9
 
     wav_d, mask_d = jax.device_put(wav), jax.device_put(mask)
-    w = step(wav_d, mask_d)
-    float(jnp.sum(jnp.abs(w)))  # force compile + first execution
+    m = step(mask_d, wav_d)
+    float(jnp.sum(jnp.abs(m)))  # force compile + first execution
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        w = step(w, mask_d)
-    float(jnp.sum(jnp.abs(w)))  # force the whole chain
+        m = step(m, wav_d)
+    float(jnp.sum(jnp.abs(m)))  # force the whole chain
     dt = (time.perf_counter() - t0) / ITERS
     return (B * SECS) / dt
 

@@ -1,20 +1,23 @@
 """Fully-fused single-chip MVDR enhancement pipeline (the TPU fast path).
 
 Chains the three Pallas kernels with a layout contract that keeps every
-large intermediate in its producer's native padded planar form:
+large intermediate in its producer's native planar form:
 
     wav (B, N, S)
-      -> forward_stft_pallas_planar      re/im (B, N, T_pad, F_pad)
-      -> pair_covar_complement_pallas    Rs/Rn numerators (B, N, N, F_pad)
+      -> forward_stft_pallas_planar      re/im (B, N, T_pad, F_HALF)
+                                         + nyq (B, N, T_pad)
+      -> pair_covar_complement_pallas    Rs/Rn numerators (B, N, N, F_HALF)
       -> mvdr_power_pallas               weights (B, F, N)
       -> planar beamform (XLA VPU)       enh (B, T, F) complex (small)
       -> inverse_stft                    (B, S)
 
 Between STFT and covariance nothing repacks, interleaves, pads or
 transposes — the covariance kernel's block layout IS the STFT kernel's
-output layout; valid-region slices fuse into the elementwise consumers.
-On the ~200 GB/s practical HBM bandwidth of the attached chip this is
-what the stage budget is made of.
+output layout, at F_HALF = n_fft/2 EXACT 128-lane tiles (no 257 -> 384
+lane padding; the real-valued Nyquist bin rides a tiny side plane and a
+cheap XLA covariance, then rejoins the batched weight solve).  On the
+~200 GB/s practical HBM bandwidth of the attached chip this byte count
+is what the stage budget is made of.
 
 Semantics match enhance_batch(beamformer="mvdr",
 steer="power") == supervised_run + mvdr_weights(steer="power"):
@@ -26,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from setk_tpu.dsp.stft import StftConfig, inverse_stft
+from setk_tpu.utils.common import GRAM_PRECISION
 
 __all__ = ["mvdr_enhance_planar", "planar_supported"]
 
@@ -52,10 +56,11 @@ def mvdr_enhance_planar(wav: jax.Array,
     b, n, s = wav.shape
     t = cfg.num_frames(s)
     f = cfg.num_bins
-    re, im = forward_stft_pallas_planar(wav, cfg, interpret=interpret)
-    t_pad, f_pad = re.shape[-2:]
-    ms = jnp.pad(mask_s.astype(jnp.float32),
-                 ((0, 0), (0, t_pad - t), (0, f_pad - f)))
+    fh = cfg.n_fft // 2  # bins 0..fh-1 in the planar planes; fh = Nyquist
+    re, im, nyq = forward_stft_pallas_planar(wav, cfg, interpret=interpret)
+    t_pad = re.shape[-2]
+    ms = jnp.pad(mask_s[..., :fh].astype(jnp.float32),
+                 ((0, 0), (0, t_pad - t), (0, 0)))
     rs_re, rs_im, rn_re, rn_im = pair_covar_complement_pallas(
         re, im, ms, n_valid_t=t, interpret=interpret)
 
@@ -63,22 +68,43 @@ def mvdr_enhance_planar(wav: jax.Array,
     den_n = t - den_s                           # sum of (1 - m) over valid T
 
     def covar(num_re, num_im, den):
-        num = (num_re + 1j * num_im)[..., :f]   # (B, N, N, F)
-        num = jnp.moveaxis(num, -1, 1)          # (B, F, N, N)
-        return num / jnp.maximum(den, 1e-6)[..., None, None]
+        num = num_re + 1j * num_im              # (B, N, N, FH)
+        num = jnp.moveaxis(num, -1, 1)          # (B, FH, N, N)
+        return num / jnp.maximum(den[..., :fh], 1e-6)[..., None, None]
 
     rs = covar(rs_re, rs_im, den_s)
     rn = covar(rn_re, rn_im, den_n)
-    wt = mvdr_power_pallas(rs, rn, power_iters=power_iters,
+
+    # Nyquist sidecar: real-valued bin, XLA covariance pair (1/F of work)
+    nv = nyq[..., :t]                           # (B, N, T)
+    m_ny = mask_s[..., fh]                      # (B, T)
+    rs_ny = (jnp.einsum("bt,bxt,byt->bxy", m_ny, nv, nv,
+                        precision=GRAM_PRECISION) /
+             jnp.maximum(den_s[..., fh], 1e-6)[..., None, None])
+    rn_ny = (jnp.einsum("bt,bxt,byt->bxy", 1.0 - m_ny, nv, nv,
+                        precision=GRAM_PRECISION) /
+             jnp.maximum(den_n[..., fh], 1e-6)[..., None, None])
+    rs_full = jnp.concatenate(
+        [rs, rs_ny[:, None].astype(rs.dtype)], axis=1)  # (B, F, N, N)
+    rn_full = jnp.concatenate(
+        [rn, rn_ny[:, None].astype(rn.dtype)], axis=1)
+
+    wt = mvdr_power_pallas(rs_full, rn_full, power_iters=power_iters,
                            interpret=interpret)  # (B, F, N) complex
 
     # planar beamform: enh[b,t,f] = sum_n conj(w)[b,f,n] obs[b,n,t,f];
     # valid-region slices fuse into this elementwise+reduce consumer
-    re_v = re[..., :t, :f]
-    im_v = im[..., :t, :f]
-    wr = jnp.transpose(jnp.real(wt), (0, 2, 1))[:, :, None, :]  # (B,N,1,F)
-    wi = jnp.transpose(jnp.imag(wt), (0, 2, 1))[:, :, None, :]
-    enh_re = jnp.sum(wr * re_v + wi * im_v, axis=1)             # (B, T, F)
+    re_v = re[..., :t, :]
+    im_v = im[..., :t, :]
+    wr = jnp.transpose(jnp.real(wt[:, :fh]), (0, 2, 1))[:, :, None, :]
+    wi = jnp.transpose(jnp.imag(wt[:, :fh]), (0, 2, 1))[:, :, None, :]
+    enh_re = jnp.sum(wr * re_v + wi * im_v, axis=1)             # (B, T, FH)
     enh_im = jnp.sum(wr * im_v - wi * re_v, axis=1)
-    enh = jax.lax.complex(enh_re, enh_im)
+    # Nyquist bin: conj(w_ny) . real obs
+    w_ny = wt[:, fh]                                            # (B, N)
+    ny_re = jnp.sum(jnp.real(w_ny)[:, :, None] * nv, axis=1)    # (B, T)
+    ny_im = jnp.sum(-jnp.imag(w_ny)[:, :, None] * nv, axis=1)
+    enh = jax.lax.complex(
+        jnp.concatenate([enh_re, ny_re[..., None]], axis=-1),
+        jnp.concatenate([enh_im, ny_im[..., None]], axis=-1))   # (B, T, F)
     return inverse_stft(enh, cfg, nsamps=nsamps if nsamps is not None else s)

@@ -32,13 +32,30 @@ def enhance_batch(wav: jax.Array,
                   cfg: StftConfig,
                   beamformer: str = "mvdr",
                   ban: bool = False,
-                  nsamps: int | None = None) -> jax.Array:
+                  nsamps: int | None = None,
+                  steer: str = "auto") -> jax.Array:
     """Batched mask-based beamforming: (B, N, S) wav + (B, T, F) mask ->
-    (B, S) enhanced wav.  Jit this whole function."""
+    (B, S) enhanced wav.  Jit this whole function.
+
+    ``steer="auto"`` resolves the MVDR steer-vector method per target:
+    fixed-count power iteration on TPU (where the mvdr config further
+    dispatches to the fully-fused planar Pallas pipeline,
+    enhance/pipeline.mvdr_enhance_planar — same math, ~30% faster step),
+    full eigendecomposition elsewhere (reference parity:
+    /root/reference/scripts/sptk/libs/beamformer.py:515-539)."""
+    from setk_tpu.utils.hostdev import tpu_target
+    on_tpu = tpu_target()
+    steer_r = ("power" if on_tpu else "eigh") if steer == "auto" else steer
+    if beamformer == "mvdr" and not ban and steer_r == "power" and on_tpu:
+        from setk_tpu.enhance.pipeline import (mvdr_enhance_planar,
+                                               planar_supported)
+        if planar_supported(cfg, wav.shape[-2]):
+            return mvdr_enhance_planar(wav, mask_s, cfg, nsamps=nsamps)
     spec = forward_stft(wav, cfg)  # (B, N, T, F)
     obs = jnp.transpose(spec, (0, 3, 1, 2))  # (B, F, N, T)
     mask = jnp.transpose(mask_s, (0, 2, 1))  # (B, F, T)
-    enh = bf.supervised_run(beamformer, obs, mask, ban=ban)  # (B, F, T)
+    kw = {"steer": steer_r} if beamformer == "mvdr" else {}
+    enh = bf.supervised_run(beamformer, obs, mask, ban=ban, **kw)
     return inverse_stft(jnp.swapaxes(enh, -1, -2), cfg,
                         nsamps=nsamps if nsamps is not None
                         else wav.shape[-1])

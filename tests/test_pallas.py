@@ -108,11 +108,42 @@ def test_pallas_stft_matches_fft(rng):
     ref = np.asarray(forward_stft(w, cfg, impl="fft"))
     got = np.asarray(forward_stft_pallas(w, cfg, interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
-    re, im = forward_stft_pallas_planar(w, cfg, interpret=True)
-    # F padding must be exact zeros (zero basis columns) for the
-    # covariance kernel's layout contract
-    assert float(np.abs(np.asarray(re)[..., cfg.num_bins:]).max()) == 0.0
-    assert float(np.abs(np.asarray(im)[..., cfg.num_bins:]).max()) == 0.0
+    re, im, nyq = forward_stft_pallas_planar(w, cfg, interpret=True)
+    # exact-lane planar layout: F_HALF planes + separate Nyquist plane
+    t = cfg.num_frames(16000)
+    fh = cfg.n_fft // 2
+    assert re.shape[-1] == fh and im.shape[-1] == fh
+    ny_ref = ref[..., fh].real
+    assert (np.abs(np.asarray(nyq)[..., :t] - ny_ref).max() /
+            max(np.abs(ny_ref).max(), 1e-6)) < 1e-3
+
+
+def test_pallas_stft_padfree_hop_aligned(rng):
+    """S % hop == 0 takes the zero-copy wav-block + VMEM-edges path."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig, forward_stft
+    from setk_tpu.ops.pallas.stft import forward_stft_pallas
+    cfg = StftConfig()
+    s = 256 * 64  # hop-aligned
+    w = jnp.asarray(rng.standard_normal((3, s)).astype(np.float32))
+    ref = np.asarray(forward_stft(w, cfg, impl="fft"))
+    got = np.asarray(forward_stft_pallas(w, cfg, interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_pallas_stft_chunked_long_signal(rng):
+    """t_pad > _T_MAX takes the multi-chunk gather path."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig, forward_stft
+    from setk_tpu.ops.pallas.stft import forward_stft_pallas
+    cfg = StftConfig()
+    s = 16000 * 11  # ~688 frames > 512-frame chunk
+    w = jnp.asarray(rng.standard_normal((2, s)).astype(np.float32))
+    ref = np.asarray(forward_stft(w, cfg, impl="fft"))
+    got = np.asarray(forward_stft_pallas(w, cfg, interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
 
 
 def test_planar_pipeline_matches_xla(rng):
