@@ -64,14 +64,29 @@ def wpe_step(reverb: jax.Array, taps_mat: jax.Array,
 
     reverb (..., F, N, T), taps_mat (..., F, NK, T), lambda (..., F, T);
     returns the dereverberated (..., F, N, T).
-    Parity: /root/reference/scripts/sptk/libs/wpe.py:58-77.
+    Parity: /root/reference/scripts/sptk/libs/wpe.py:58-77 — the
+    reference weights one operand by 1/lambda; weighting BOTH by
+    sqrt(1/lambda) is the same bilinear form but lets one Gram matmul
+    over [reverb; taps] produce corr (delayed x delayed block) AND cross
+    (delayed x current block) from a single weighted-operand pass (the
+    separate yn/corr/cross einsums cost an extra ~4 GB of HBM traffic
+    per iteration at the B=32 bench shape).
     """
-    yn = taps_mat / lambda_[..., None, :]
-    corr = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(taps_mat),
+    n = reverb.shape[-2]
+    s = jax.lax.rsqrt(jnp.maximum(lambda_, EPSILON))[..., None, :]
+    y2 = jnp.concatenate([reverb * s, taps_mat * s], axis=-2)
+    gram = jnp.einsum("...mt,...nt->...mn", y2, jnp.conj(y2),
                       precision=GRAM_PRECISION)
-    cross = jnp.einsum("...mt,...nt->...mn", yn, jnp.conj(reverb),
-                       precision=GRAM_PRECISION)
-    filt = hermitian_solve(corr, cross)  # (..., F, NK, N)
+    corr = gram[..., n:, n:]
+    cross = gram[..., n:, :n]
+    # keep the hermitianize pass: when WPE nearly annihilates a
+    # deterministic signal, lambda collapses ~6 orders and the weighted
+    # tap Gram's PSD margin approaches f32 rounding — skipping the
+    # 0.5 (A + A^H) average NaN'd a pure-chirp torture input at
+    # iteration 3 (raising eps_rel to 1e-5 also fixes it, but perturbs
+    # the near-singular tonal solves enough to decorrelate the batched
+    # vs single CLI paths).
+    filt = hermitian_solve(corr, cross)
     return reverb - jnp.einsum("...na,...nb->...ab", jnp.conj(filt),
                                taps_mat, precision=GRAM_PRECISION)
 

@@ -96,7 +96,8 @@ def _unrolled_cholesky_solve(a: jax.Array, rhs: jax.Array) -> jax.Array:
 
 def hermitian_solve(a: jax.Array, b: jax.Array,
                     eps_rel: float = 1e-6,
-                    use_pallas: bool | None = None) -> jax.Array:
+                    use_pallas: bool | None = None,
+                    assume_hermitian: bool = False) -> jax.Array:
     """Solve a x = b for Hermitian (PSD) ``a`` via Cholesky + loading.
 
     On TPU the batched LU behind jnp.linalg.solve costs ~10x more than a
@@ -121,9 +122,10 @@ def hermitian_solve(a: jax.Array, b: jax.Array,
         use_pallas = tpu_target() and 16 <= n <= 128
     if use_pallas:
         from setk_tpu.ops.pallas.cholesky import hermitian_solve_lanes_pallas
-        x = hermitian_solve_lanes_pallas(a, rhs, eps_rel=eps_rel)
+        x = hermitian_solve_lanes_pallas(a, rhs, eps_rel=eps_rel,
+                                         assume_hermitian=assume_hermitian)
         return x[..., 0] if vec else x
-    loaded = _diag_load(hermitianize(a), eps_rel)
+    loaded = _diag_load(a if assume_hermitian else hermitianize(a), eps_rel)
     chol = jnp.linalg.cholesky(loaded)
     y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
     x = jax.scipy.linalg.solve_triangular(

@@ -144,6 +144,7 @@ def _solve_lanes(ar, ai, br, bi, eps_rel, interpret):
 def hermitian_solve_lanes_pallas(a: jax.Array,
                                  b: jax.Array,
                                  eps_rel: float = 1e-6,
+                                 assume_hermitian: bool = False,
                                  interpret: bool = False) -> jax.Array:
     """Solve a x = b for batched Hermitian-PD ``a``.
 
@@ -153,14 +154,20 @@ def hermitian_solve_lanes_pallas(a: jax.Array,
     diagonal loading).  Intended for medium N (~16..128) where XLA's
     batched complex Cholesky collapses; small N (<= 8) should use the
     statically-unrolled forms instead.
+
+    ``assume_hermitian`` skips the 0.5 (A + A^H) pass — use when A is an
+    exact Gram matrix (x W x^H with one rounding per entry); the kernel
+    consumes whole stored columns, so sub-ulp asymmetry is harmless and
+    the skip saves a full read+write of A.
     """
     *lead, nn, _ = a.shape
     k = b.shape[-1]
     bf = int(np.prod(lead)) if lead else 1
-    # hermitianize (cheap, XLA) then go column-major planar with bins last
-    ah = 0.5 * (a + jnp.conj(jnp.swapaxes(a, -1, -2)))
-    at = jnp.moveaxis(ah.reshape(bf, nn, nn), 0, -1)   # (row, col, BF)
-    at = jnp.swapaxes(at, 0, 1)                        # (col, row, BF)
+    ah = a if assume_hermitian else \
+        0.5 * (a + jnp.conj(jnp.swapaxes(a, -1, -2)))
+    # column-major planar with bins in lanes: (col, row, BF) in one
+    # transpose (XLA fuses it into the real/imag split consumers)
+    at = jnp.transpose(ah.reshape(bf, nn, nn), (2, 1, 0))
     bt = jnp.moveaxis(b.reshape(bf, nn, k), 0, -1)     # (N, K, BF)
     pad = (-bf) % _LANES
     if pad:
