@@ -213,3 +213,43 @@ def test_covar_stats_broadcast_parity(rng):
                                       f_tile=8, interpret=True)
     num = (np.asarray(nre) + 1j * np.asarray(nim)).reshape(2, 16, 3, 3)
     np.testing.assert_allclose(num, np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_jacobi_regularized_inverse_matches_xla(rng):
+    """Lane-batched Jacobi EVD inverse vs the XLA eigh path, including
+    near-singular covariances (where the eigenvalue floor activates)."""
+    import jax.numpy as jnp
+    from setk_tpu.ops.linalg import regularized_inverse
+    from setk_tpu.ops.pallas.eigh_small import regularized_inverse_pallas
+    BF, M = 37, 6
+    a = (rng.standard_normal((BF, M, 8)) +
+         1j * rng.standard_normal((BF, M, 8)))
+    A = (a @ np.conj(a.transpose(0, 2, 1))).astype(np.complex64)
+    # make a third of them near-singular (rank 1 + tiny noise)
+    u = (rng.standard_normal((BF // 3, M, 1)) +
+         1j * rng.standard_normal((BF // 3, M, 1)))
+    A[:BF // 3] = (u @ np.conj(u.transpose(0, 2, 1)) +
+                   1e-5 * np.eye(M)).astype(np.complex64)
+    ref_inv, ref_ld = regularized_inverse(jnp.asarray(A),
+                                          return_logdet=True,
+                                          use_pallas=False)
+    got_inv, got_ld = regularized_inverse_pallas(jnp.asarray(A),
+                                                 return_logdet=True,
+                                                 interpret=True)
+    ref_inv, ref_ld = np.asarray(ref_inv), np.asarray(ref_ld)
+    got_inv, got_ld = np.asarray(got_inv), np.asarray(got_ld)
+    scale = np.abs(ref_inv).max(axis=(-1, -2), keepdims=True)
+    err = (np.abs(got_inv - ref_inv) / scale).max(axis=(-1, -2))
+    k = BF // 3
+    # near-singular: ANY two f32 eigensolvers disagree on the tiny
+    # eigenvalues by ~eps * lambda_max / lambda_small (~15% at this
+    # conditioning) — XLA's f32 eigh carries the same absolute
+    # uncertainty, so only structural agreement is checkable there
+    assert err[:k].max() < 0.3
+    assert err[k:].max() < 5e-3
+    np.testing.assert_allclose(got_ld[k:], ref_ld[k:], rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(got_ld[:k], ref_ld[:k], atol=0.5)
+    # the regularized inverse must stay Hermitian PSD everywhere
+    herm_err = np.abs(got_inv - np.conj(np.swapaxes(got_inv, -1, -2))).max()
+    assert herm_err < 1e-3 * np.abs(got_inv).max()
+    assert np.linalg.eigvalsh(got_inv).min() > -1e-3
