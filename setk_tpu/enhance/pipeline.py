@@ -92,19 +92,33 @@ def mvdr_enhance_planar(wav: jax.Array,
     wt = mvdr_power_pallas(rs_full, rn_full, power_iters=power_iters,
                            interpret=interpret)  # (B, F, N) complex
 
-    # planar beamform: enh[b,t,f] = sum_n conj(w)[b,f,n] obs[b,n,t,f];
-    # valid-region slices fuse into this elementwise+reduce consumer
-    re_v = re[..., :t, :]
-    im_v = im[..., :t, :]
+    # planar beamform: enh[b,t,f] = sum_n conj(w)[b,f,n] obs[b,n,t,f]
+    from setk_tpu.ops.pallas.stft import (inverse_stft_pallas_planar,
+                                          istft_pallas_supported)
+    out_samps = nsamps if nsamps is not None else s
     wr = jnp.transpose(jnp.real(wt[:, :fh]), (0, 2, 1))[:, :, None, :]
     wi = jnp.transpose(jnp.imag(wt[:, :fh]), (0, 2, 1))[:, :, None, :]
+    w_ny = wt[:, fh]                                            # (B, N)
+    if istft_pallas_supported(cfg, t_pad, out_samps, t):
+        # fused planar iSTFT consumes re/im/nyq planes directly — no
+        # complex assembly, no frame materialization.  Beamform runs on
+        # the full T_pad rows (padding rows are exact zeros from the
+        # forward kernel, and the iSTFT trims never read beyond the
+        # valid frames).
+        enh_re = jnp.sum(wr * re + wi * im, axis=1)         # (B, T_pad, FH)
+        enh_im = jnp.sum(wr * im - wi * re, axis=1)
+        ny_re = jnp.sum(jnp.real(w_ny)[:, :, None] * nyq, axis=1)
+        return inverse_stft_pallas_planar(enh_re, enh_im, ny_re, cfg,
+                                          n_frames=t, nsamps=out_samps,
+                                          interpret=interpret)
+    re_v = re[..., :t, :]
+    im_v = im[..., :t, :]
     enh_re = jnp.sum(wr * re_v + wi * im_v, axis=1)             # (B, T, FH)
     enh_im = jnp.sum(wr * im_v - wi * re_v, axis=1)
     # Nyquist bin: conj(w_ny) . real obs
-    w_ny = wt[:, fh]                                            # (B, N)
     ny_re = jnp.sum(jnp.real(w_ny)[:, :, None] * nv, axis=1)    # (B, T)
     ny_im = jnp.sum(-jnp.imag(w_ny)[:, :, None] * nv, axis=1)
     enh = jax.lax.complex(
         jnp.concatenate([enh_re, ny_re[..., None]], axis=-1),
         jnp.concatenate([enh_im, ny_im[..., None]], axis=-1))   # (B, T, F)
-    return inverse_stft(enh, cfg, nsamps=nsamps if nsamps is not None else s)
+    return inverse_stft(enh, cfg, nsamps=out_samps)

@@ -41,7 +41,8 @@ import numpy as np
 
 __all__ = [
     "stft_pallas_supported", "forward_stft_pallas",
-    "forward_stft_pallas_planar"
+    "forward_stft_pallas_planar", "istft_pallas_supported",
+    "inverse_stft_pallas_planar"
 ]
 
 _T_QUANT = 128  # frame-count padding quantum (per utterance)
@@ -263,6 +264,136 @@ def forward_stft_pallas_planar(samps: jax.Array, cfg,
     shape = (*lead, t_pad, f_half)
     return (re.reshape(shape), im.reshape(shape),
             nyq.reshape(*lead, t_pad))
+
+
+def _istft_kernel(nblk_out, er_ref, ei_ref, ny_ref, brt_hi, brt_lo, brb_hi,
+                  brb_lo, bit_hi, bit_lo, bib_hi, bib_lo, nyt_ref, nyb_ref,
+                  wss_ref, out_ref):
+    # frames = enh @ B_syn, then overlap-add at 50% = audio block j gets
+    # frames[j][:hop] + frames[j-1][hop:].  Split the synthesis basis at
+    # COLUMN hop: P = enh @ B[:, :hop], Q = enh @ B[:, hop:], then
+    # out[j] = (P[j+1] + Q[j]) * wss_inv[j] — the +1 row offset IS the
+    # center trim (half-window = one hop block at 50% overlap), and the
+    # trailing trim just never reads the last Q row.
+    er = er_ref[0]                    # (T_pad, F_HALF)
+    ei = ei_ref[0]
+    ny = ny_ref[0]                    # (T_pad, 1) — Nyquist bin is real
+    er_h = er.astype(jnp.bfloat16)
+    er_l = (er - er_h.astype(jnp.float32)).astype(jnp.bfloat16)
+    ei_h = ei.astype(jnp.bfloat16)
+    ei_l = (ei - ei_h.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    p = dot(er_h, brt_hi[...]) + dot(er_h, brt_lo[...])
+    p += dot(er_l, brt_hi[...])
+    p += dot(ei_h, bit_hi[...]) + dot(ei_h, bit_lo[...])
+    p += dot(ei_l, bit_hi[...])
+    p += ny * nyt_ref[...]            # f32 rank-1: Nyquist synthesis row
+    q = dot(er_h, brb_hi[...]) + dot(er_h, brb_lo[...])
+    q += dot(er_l, brb_hi[...])
+    q += dot(ei_h, bib_hi[...]) + dot(ei_h, bib_lo[...])
+    q += dot(ei_l, bib_hi[...])
+    q += ny * nyb_ref[...]
+    out_ref[0] = (p[1:nblk_out + 1] + q[:nblk_out]) * wss_ref[...]
+
+
+@partial(jax.jit, static_argnames=("nblk_out", "interpret"))
+def _istft_pallas(er, ei, ny, bases, nyrows, wss_inv, nblk_out, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bsz, t_pad, f_half = er.shape
+    hop = wss_inv.shape[-1]
+    spec_spec = pl.BlockSpec((1, t_pad, f_half), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    ny_spec = pl.BlockSpec((1, t_pad, 1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    basis_spec = pl.BlockSpec((f_half, hop), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    nyrow_spec = pl.BlockSpec((1, hop), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    wss_spec = pl.BlockSpec((nblk_out, hop), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nblk_out, hop), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_istft_kernel, nblk_out),
+        grid=(bsz,),
+        in_specs=([spec_spec, spec_spec, ny_spec] + [basis_spec] * 8 +
+                  [nyrow_spec] * 2 + [wss_spec]),
+        out_specs=[out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nblk_out, hop), jnp.float32)
+        ],
+        interpret=interpret,
+    )(er, ei, ny, *bases, *nyrows, wss_inv)[0]
+
+
+@lru_cache(maxsize=None)
+def _syn_basis(n_fft: int, window_key):
+    """Synthesis bases split for the planar iSTFT kernel: 8 bf16 hi/lo
+    (F_HALF, hop) matmul blocks + 2 f32 (1, n_fft->hop) Nyquist rows."""
+    from setk_tpu.dsp import dft
+    window = np.frombuffer(window_key, dtype=np.float64)
+    b_re, b_im = dft.irdft_basis(n_fft, window)  # (F, n_fft) f32
+    b_re = np.asarray(b_re, np.float64)
+    b_im = np.asarray(b_im, np.float64)
+    hop = n_fft // 2
+    f_half = n_fft // 2
+    out = []
+    for cols in (slice(0, hop), slice(hop, n_fft)):
+        for b in (b_re, b_im):
+            hi, lo = _split_hi_lo(b[:f_half, cols])
+            out.extend([hi, lo])
+    # reorder to (re-top, re-bot, im-top, im-bot) hi/lo pairs
+    brt_hi, brt_lo, bit_hi, bit_lo, brb_hi, brb_lo, bib_hi, bib_lo = out
+    bases = (brt_hi, brt_lo, brb_hi, brb_lo, bit_hi, bit_lo, bib_hi,
+             bib_lo)
+    # Nyquist synthesis row: b_im[f_half] is identically 0 (sin at
+    # Nyquist), so only the real row contributes — kept f32 (rank-1
+    # elementwise add, no MXU, no hi/lo needed)
+    nyrows = (np.asarray(b_re[f_half:f_half + 1, :hop], np.float32),
+              np.asarray(b_re[f_half:f_half + 1, hop:], np.float32))
+    return bases, nyrows
+
+
+def istft_pallas_supported(cfg, t_pad: int, nsamps: int,
+                           n_frames: int) -> bool:
+    return (stft_pallas_supported(cfg) and cfg.center and t_pad <= _T_MAX
+            and n_frames <= t_pad
+            and nsamps == (n_frames - 1) * cfg.frame_hop)
+
+
+def inverse_stft_pallas_planar(er: jax.Array, ei: jax.Array, ny: jax.Array,
+                               cfg, n_frames: int, nsamps: int,
+                               interpret: bool = False) -> jax.Array:
+    """Planar fused iSTFT: (..., T_pad, F_HALF) re/im + (..., T_pad)
+    Nyquist-bin real part -> (..., nsamps) samples.
+
+    Semantics match dsp.stft.inverse_stft(impl="matmul",
+    precision="high") for the hop-aligned center case
+    (nsamps == (n_frames - 1) * hop); rows >= n_frames must be zeros
+    (they are, from the forward kernel's zero tail blocks).  The
+    squared-window envelope division folds in as a precomputed
+    reciprocal multiply; both center trims fold into row indexing.
+    """
+    from setk_tpu.dsp.window import window_sumsquare
+    n_fft, hop = cfg.n_fft, cfg.frame_hop
+    *lead, t_pad, f_half = er.shape
+    bsz = int(np.prod(lead)) if lead else 1
+    nblk_out = nsamps // hop
+    bases, nyrows = _syn_basis(
+        n_fft, np.asarray(cfg.padded_window, np.float64).tobytes())
+    wss = window_sumsquare(cfg.padded_window, n_frames, hop, n_fft)
+    wss = wss[n_fft // 2:n_fft // 2 + nsamps]
+    tiny = float(np.finfo(np.float32).tiny)
+    wss_inv = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny),
+                       1.0).astype(np.float32).reshape(nblk_out, hop)
+    out = _istft_pallas(er.reshape(bsz, t_pad, f_half),
+                        ei.reshape(bsz, t_pad, f_half),
+                        ny.reshape(bsz, t_pad, 1),
+                        tuple(jnp.asarray(b) for b in bases),
+                        tuple(jnp.asarray(r) for r in nyrows),
+                        jnp.asarray(wss_inv), nblk_out, interpret)
+    return out.reshape(*lead, nsamps)
 
 
 def forward_stft_pallas(samps: jax.Array, cfg,

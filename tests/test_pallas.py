@@ -168,6 +168,30 @@ def test_planar_pipeline_matches_xla(rng):
     assert np.abs(out_p - out_r).max() / np.abs(out_r).max() < 1e-3
 
 
+def test_planar_pipeline_fused_istft_matches_xla(rng):
+    """Hop-aligned lengths take the fused planar iSTFT kernel."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig, forward_stft, inverse_stft
+    from setk_tpu.enhance import beamformer as bf
+    from setk_tpu.enhance.pipeline import mvdr_enhance_planar
+    cfg = StftConfig()
+    B, N, S = 2, 4, 256 * 64  # S % hop == 0 and nsamps == (T-1)*hop
+    wav = jnp.asarray(rng.standard_normal((B, N, S)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.random((B, cfg.num_frames(S), cfg.num_bins)).astype(np.float32))
+    out_p = np.asarray(mvdr_enhance_planar(wav, mask, cfg, interpret=True))
+    spec = forward_stft(wav, cfg)
+    obs = jnp.transpose(spec, (0, 3, 1, 2))
+    mk = jnp.transpose(mask, (0, 2, 1))
+    rs, rn = bf.compute_covar_pair(obs, mk, use_pallas=False)
+    wt = bf.mvdr_weights(rs, rn, steer="power", use_pallas=False)
+    enh = bf.beamform(wt, obs)
+    out_r = np.asarray(
+        inverse_stft(jnp.swapaxes(enh, -1, -2), cfg, nsamps=S))
+    assert out_p.shape == out_r.shape
+    assert np.abs(out_p - out_r).max() / np.abs(out_r).max() < 1e-3
+
+
 def test_lane_cholesky_matches_xla(rng):
     """Medium-N lane-batched Hermitian solve vs the XLA Cholesky path."""
     import jax.numpy as jnp
