@@ -31,9 +31,98 @@ import jax.numpy as jnp
 from setk_tpu.dsp.stft import StftConfig, inverse_stft
 from setk_tpu.utils.common import GRAM_PRECISION
 
-__all__ = ["mvdr_enhance_planar", "planar_supported"]
+__all__ = [
+    "mvdr_enhance_planar", "planar_supported", "mvdr_enhance_fused",
+    "fused_supported"
+]
 
 _LANES = 128
+
+
+def fused_supported(cfg: StftConfig, num_mics: int, nsamps: int,
+                    out_samps: int) -> bool:
+    from setk_tpu.ops.pallas.fused_mvdr import fused_mvdr_supported
+    return fused_mvdr_supported(cfg, num_mics, nsamps, out_samps)
+
+
+def mvdr_enhance_fused(wav: jax.Array,
+                       mask_s: jax.Array,
+                       cfg: StftConfig,
+                       power_iters: int = 15,
+                       nsamps: int | None = None,
+                       interpret: bool = False) -> jax.Array:
+    """Zero-spectrum-materialization MVDR: (B, N, S) wav + (B, T, F)
+    speech mask -> (B, S') enhanced wav.
+
+    Two Pallas kernels (ops/pallas/fused_mvdr.py) keep the STFT entirely
+    in VMEM: kernel A emits only the Rs/Rn covariance numerators, the
+    MVDR weights solve in the existing lane-batched kernel, and kernel B
+    recomputes the DFT to beamform + inverse-transform.  Frequency bins
+    ride in scrambled radix-2 (even|odd) order end to end — only the
+    mask is permuted into lane order (one small gather).
+
+    Semantics match mvdr_enhance_planar == enhance_batch(
+    beamformer="mvdr", steer="power"); reference call stack
+    apply_adaptive_beamformer.py:74-180 -> libs/beamformer.py:270-283,
+    515-539 (mask_n = 1 - mask_s, no BAN).
+    """
+    import numpy as np
+    from setk_tpu.dsp.window import window_sumsquare
+    from setk_tpu.ops.pallas.fused_mvdr import (beamform_istft_pallas,
+                                                lane_permutation,
+                                                stft_covar_pallas)
+    from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas
+
+    b, n, s = wav.shape
+    t = cfg.num_frames(s)
+    f = cfg.num_bins
+    fh = cfg.n_fft // 2
+    hop = cfg.frame_hop
+    out_samps = nsamps if nsamps is not None else s
+    window_key = np.asarray(cfg.padded_window, np.float64).tobytes()
+
+    c = cfg.n_fft // 2
+    wavb = wav.reshape(b, n, s // hop, hop)           # zero-copy blocks
+    edges = jnp.stack([wav[..., c:0:-1], wav[..., -2:-(c + 2):-1]],
+                      axis=2)                         # (B, N, 2, hop)
+
+    perm = lane_permutation()                         # (257,) bins
+    ml = mask_s[..., perm].astype(jnp.float32)        # (B, T, 257)
+    mask_lanes = jnp.pad(ml, ((0, 0), (0, 512 - t), (0, 384 - (fh + 1))))
+
+    rs_re, rs_im, rn_re, rn_im = stft_covar_pallas(
+        wavb, edges, mask_lanes, window_key, n_valid_t=t,
+        interpret=interpret)
+
+    den_s = jnp.sum(ml, axis=-2)                      # (B, 257) lane order
+    den_n = t - den_s
+
+    def covar(num_re, num_im, den):
+        num = (num_re + 1j * num_im)[..., :f]         # (B, N, N, 257)
+        num = jnp.moveaxis(num, -1, 1)                # (B, 257, N, N)
+        return num / jnp.maximum(den, 1e-6)[..., None, None]
+
+    rs = covar(rs_re, rs_im, den_s)
+    rn = covar(rn_re, rn_im, den_n)
+    wt = mvdr_power_pallas(rs, rn, power_iters=power_iters,
+                           interpret=interpret)              # (B, 257, N)
+
+    wr = jnp.transpose(jnp.real(wt[:, :fh]), (0, 2, 1))      # (B, N, 256)
+    wi = jnp.transpose(jnp.imag(wt[:, :fh]), (0, 2, 1))
+    wny = jnp.real(wt[:, fh])[..., None]                     # (B, N, 1)
+    wcat = jnp.concatenate(
+        [wr, wi, wny, jnp.zeros((b, n, 127), wr.dtype)], axis=-1)
+
+    nblk_out = out_samps // hop
+    wss = window_sumsquare(cfg.padded_window, t, hop, cfg.n_fft)
+    wss = wss[cfg.n_fft // 2:cfg.n_fft // 2 + out_samps]
+    tiny = float(np.finfo(np.float32).tiny)
+    wss_inv = jnp.asarray(
+        np.where(wss > tiny, 1.0 / np.maximum(wss, tiny),
+                 1.0).astype(np.float32).reshape(nblk_out, hop))
+    out = beamform_istft_pallas(wavb, edges, wcat, wss_inv, window_key,
+                                nblk_out=nblk_out, interpret=interpret)
+    return out.reshape(b, nblk_out * hop)
 
 
 def planar_supported(cfg: StftConfig, num_mics: int) -> bool:

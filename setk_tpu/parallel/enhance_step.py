@@ -47,8 +47,13 @@ def enhance_batch(wav: jax.Array,
     on_tpu = tpu_target()
     steer_r = ("power" if on_tpu else "eigh") if steer == "auto" else steer
     if beamformer == "mvdr" and not ban and steer_r == "power" and on_tpu:
-        from setk_tpu.enhance.pipeline import (mvdr_enhance_planar,
+        from setk_tpu.enhance.pipeline import (fused_supported,
+                                               mvdr_enhance_fused,
+                                               mvdr_enhance_planar,
                                                planar_supported)
+        out_samps = nsamps if nsamps is not None else wav.shape[-1]
+        if fused_supported(cfg, wav.shape[-2], wav.shape[-1], out_samps):
+            return mvdr_enhance_fused(wav, mask_s, cfg, nsamps=nsamps)
         if planar_supported(cfg, wav.shape[-2]):
             return mvdr_enhance_planar(wav, mask_s, cfg, nsamps=nsamps)
     spec = forward_stft(wav, cfg)  # (B, N, T, F)

@@ -277,3 +277,45 @@ def test_jacobi_regularized_inverse_matches_xla(rng):
     herm_err = np.abs(got_inv - np.conj(np.swapaxes(got_inv, -1, -2))).max()
     assert herm_err < 1e-3 * np.abs(got_inv).max()
     assert np.linalg.eigvalsh(got_inv).min() > -1e-3
+
+
+def test_fused_mvdr_pipeline_matches_xla(rng):
+    """Zero-materialization fused pipeline (stft+covar / beamform+istft
+    kernels, scrambled radix-2 lanes) vs the XLA reference path."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig, forward_stft, inverse_stft
+    from setk_tpu.enhance import beamformer as bf
+    from setk_tpu.enhance.pipeline import fused_supported, mvdr_enhance_fused
+    cfg = StftConfig()
+    B, N, S = 2, 3, 16384  # hop-aligned length
+    assert fused_supported(cfg, N, S, S)
+    wav = jnp.asarray(rng.standard_normal((B, N, S)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.random((B, cfg.num_frames(S), cfg.num_bins)).astype(np.float32))
+    out_f = np.asarray(mvdr_enhance_fused(wav, mask, cfg, interpret=True))
+    spec = forward_stft(wav, cfg)
+    obs = jnp.transpose(spec, (0, 3, 1, 2))
+    mk = jnp.transpose(mask, (0, 2, 1))
+    rs, rn = bf.compute_covar_pair(obs, mk, use_pallas=False)
+    wt = bf.mvdr_weights(rs, rn, steer="power", use_pallas=False)
+    enh = bf.beamform(wt, obs)
+    out_r = np.asarray(
+        inverse_stft(jnp.swapaxes(enh, -1, -2), cfg, nsamps=S))
+    assert out_f.shape == out_r.shape
+    assert np.abs(out_f - out_r).max() / np.abs(out_r).max() < 1e-3
+
+
+def test_fused_mvdr_short_signal(rng):
+    """Short utterance: most DIF quarters cover only padding frames."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig
+    from setk_tpu.enhance.pipeline import (mvdr_enhance_fused,
+                                           mvdr_enhance_planar)
+    cfg = StftConfig()
+    B, N, S = 1, 2, 4096
+    wav = jnp.asarray(rng.standard_normal((B, N, S)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.random((B, cfg.num_frames(S), cfg.num_bins)).astype(np.float32))
+    out_f = np.asarray(mvdr_enhance_fused(wav, mask, cfg, interpret=True))
+    out_p = np.asarray(mvdr_enhance_planar(wav, mask, cfg, interpret=True))
+    assert np.abs(out_f - out_p).max() / np.abs(out_p).max() < 1e-3
