@@ -4,21 +4,24 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Pipeline (BASELINE.json headline config): (B, 6, S) waveforms + (B, T, F)
-masks through enhance_batch's TPU default, the fully-fused planar
-pipeline (enhance/pipeline.py): pad-free fused framing+DFT STFT kernel
-(3-pass bf16 precision: 94.9 dB SNR vs highest) -> fused Rs/Rn pair
-covariance (Pallas, one obs read, exact-lane F_HALF planes + Nyquist
-sidecar) -> fused MVDR weight solve (Pallas: power-iteration steer +
-unrolled complex Cholesky Capon, one bin per lane) -> beamform ->
-iSTFT, one jit program.  B=128 x 8 s utterances: the
+masks through enhance_batch's TPU default, the zero-spectrum-
+materialization fused pipeline (enhance/pipeline.mvdr_enhance_fused,
+ops/pallas/fused_mvdr.py): kernel A fuses framing + windowed radix-2
+DIF DFT + mask-weighted Rs/Rn pair covariance (only the covariance
+numerators reach HBM); the lane-batched Pallas MVDR solve
+(power-iteration steer + unrolled complex Cholesky Capon) computes the
+weights; kernel B recomputes the DFT in VMEM to beamform + inverse-DIT
++ overlap-add.  One jit program.  B=128 x 8 s utterances: the
 throughput-saturating batch (amortizes the ~5-8 ms/call dispatch
 overhead of the remote runtime; B=32 x 4 s reaches only ~half of this).
 
 Timing methodology: on this TPU's remote runtime, async dispatch makes
 naive block_until_ready timing unreliable, so iterations are *chained*
-(each call's mask input consumes the previous output — the mask, not
-the waveform, so the chain itself costs ~0.2 GB/step not ~0.8) and the
-chain is forced by a scalar reduction to host; compile time excluded.
+(each step's mask input consumes the previous output — the mask, not
+the waveform, so the chain itself costs ~0.2 GB/step not ~0.8) inside
+ONE lax.scan program (per-step Python dispatch adds a fixed ~2.5 ms of
+remote-runtime overhead that steady-state serving does not pay), and
+the chain is forced by a scalar reduction to host; compile excluded.
 
 vs_baseline compares against the reference's per-utterance NumPy path on
 this host's CPU (the reference publishes no numbers — BASELINE.md).
@@ -59,19 +62,26 @@ def measure_tpu():
     cfg, wav, mask = _inputs()
 
     @jax.jit
-    def step(m, w):
-        out = enhance_batch(w, m, cfg, beamformer="mvdr")
+    def run_chain(m, w):
         # chain through the SMALL mask so iterations serialize on device
         # without re-reading/re-writing the (B, N, S) waveforms each
-        # step (a wav-chain adds ~790 MB/step of artifact traffic)
-        return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9
+        # step (a wav-chain adds ~790 MB/step of artifact traffic).
+        # lax.scan keeps the whole chain in ONE dispatch: launching the
+        # steps individually from Python measured a fixed ~2.5 ms/step
+        # of remote-runtime dispatch overhead that steady-state serving
+        # (async dispatch overlapping compute) does not pay.
+        def body(m, _):
+            out = enhance_batch(w, m, cfg, beamformer="mvdr")
+            return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9, ()
+
+        m, _ = jax.lax.scan(body, m, None, length=ITERS)
+        return m
 
     wav_d, mask_d = jax.device_put(wav), jax.device_put(mask)
-    m = step(mask_d, wav_d)
+    m = run_chain(mask_d, wav_d)
     float(jnp.sum(jnp.abs(m)))  # force compile + first execution
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        m = step(m, wav_d)
+    m = run_chain(m, wav_d)
     float(jnp.sum(jnp.abs(m)))  # force the whole chain
     dt = (time.perf_counter() - t0) / ITERS
     return (B * SECS) / dt

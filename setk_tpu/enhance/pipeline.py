@@ -86,15 +86,22 @@ def mvdr_enhance_fused(wav: jax.Array,
     edges = jnp.stack([wav[..., c:0:-1], wav[..., -2:-(c + 2):-1]],
                       axis=2)                         # (B, N, 2, hop)
 
-    perm = lane_permutation()                         # (257,) bins
-    ml = mask_s[..., perm].astype(jnp.float32)        # (B, T, 257)
-    mask_lanes = jnp.pad(ml, ((0, 0), (0, 512 - t), (0, 384 - (fh + 1))))
+    # the kernel permutes the mask to lane order internally (one-hot
+    # matmul — an XLA lane gather or any minor-dim pad measured 4-6 ms
+    # at the bench shape).  Only cheap major-dim row pads happen here;
+    # the tiny Nyquist mask rides a lane-broadcast side plane.
+    m32 = mask_s.astype(jnp.float32)
+    mask0 = jnp.pad(m32[..., :fh], ((0, 0), (0, 512 - t), (0, 0)))
+    mask_ny = jnp.pad(
+        jnp.broadcast_to(m32[..., fh:fh + 1], (b, t, 128)),
+        ((0, 0), (0, 512 - t), (0, 0)))
 
     rs_re, rs_im, rn_re, rn_im = stft_covar_pallas(
-        wavb, edges, mask_lanes, window_key, n_valid_t=t,
+        wavb, edges, mask0, mask_ny, window_key, n_valid_t=t,
         interpret=interpret)
 
-    den_s = jnp.sum(ml, axis=-2)                      # (B, 257) lane order
+    perm = lane_permutation()                         # (257,) bins
+    den_s = jnp.sum(mask_s, axis=-2)[..., perm]       # (B, 257) lane order
     den_n = t - den_s
 
     def covar(num_re, num_im, den):

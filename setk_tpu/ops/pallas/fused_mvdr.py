@@ -94,8 +94,10 @@ def _dif_bases(window_key):
 
     BeK (768, 384) bf16: 3-pass K-stack [hi; lo; hi] for the real
     input a; columns [re_e 128 | im_e 128 | ny 1 + 127 zeros].
-    BoK (1536, 256) bf16: inputs [br|bi] K-stacked per pass; columns
-    [re_o 128 | im_o 128].
+    BoK (768, 256) bf16: same for the real input d — the DIF twiddle
+    folds into the basis (DFT512(y)[2k+1] = sum_n d[n]
+    exp(-i pi (2k+1) n / 256), a real-input "odd-frequency" DFT), so
+    no complex twiddle multiply and half the K of the two-operand form.
     """
     window = np.frombuffer(window_key, dtype=np.float64)
     m = _FH
@@ -108,17 +110,13 @@ def _dif_bases(window_key):
     be = np.concatenate([cosb, msinb, nyc, np.zeros((m, 127))], axis=1)
     be_h, be_l = _split_hi_lo(be)
     bek = np.concatenate([be_h, be_l, be_h], axis=0)
-    # odd bins, complex input b = br + i*bi against exp(-i ang):
-    #   re = br@cos + bi@sin = br@cosb - bi@msinb
-    #   im = bi@cos - br@sin = br@msinb + bi@cosb
-    bo = np.block([[cosb, msinb], [-msinb, cosb]])
+    ang_o = np.pi * n[:, None] * (2 * k[None, :] + 1) / m
+    bo = np.concatenate([np.cos(ang_o), -np.sin(ang_o)], axis=1)
     bo_h, bo_l = _split_hi_lo(bo)
     bok = np.concatenate([bo_h, bo_l, bo_h], axis=0)
     w0 = np.asarray(window[:_HOP], np.float32)
     w1 = np.asarray(window[_HOP:], np.float32)
-    twr = np.asarray(np.cos(np.pi * n / m), np.float32)
-    twi = np.asarray(-np.sin(np.pi * n / m), np.float32)
-    return (np.asarray(bek), np.asarray(bok), w0, w1, twr, twi)
+    return (np.asarray(bek), np.asarray(bok), w0, w1)
 
 
 @lru_cache(maxsize=None)
@@ -195,78 +193,91 @@ def _assemble_quarter(q, nblk, wav_ref, edge_ref, mic, x_scr):
             (_QUARTER + 1 - zpos, _HOP), jnp.float32)
 
 
-def _dif_quarter(x_scr, bek_ref, bok_ref, w0_ref, w1_ref, twr_ref, twi_ref,
-                 ke_scr, ko_scr):
-    """Windowed radix-2 DIF DFT of one quarter's 128 frames.
+def _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref, bek_ref, bok_ref,
+                     w0_ref, w1_ref, x_scr, ke_scr, ko_scr):
+    """Windowed radix-2 DIF DFT of one quarter's 128 frames for ALL mics,
+    stacked along the matmul M dimension (mic m = rows m*128..m*128+127).
 
-    Returns (ev (128, 384): [re_e|im_e|ny+z], od (128, 256):
+    The per-mic VPU work (frame assembly, windowed butterflies, bf16
+    hi/lo splits) lands in two big K-stacked scratches so the whole
+    quarter runs as TWO MXU dots — the earlier per-mic version
+    alternated 12 small VPU/MXU sections and left the MXU idle in the
+    bubbles.
+
+    Returns (ev (n*128, 384): [re_e|im_e|ny+z], od (n*128, 256):
     [re_o|im_o])."""
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
-    y0 = x_scr[:_QUARTER] * w0_ref[...]
-    y1 = x_scr[1:_QUARTER + 1] * w1_ref[...]
-    a = y0 + y1
-    d = y0 - y1
-    br = d * twr_ref[...]
-    bi = d * twi_ref[...]
-    _kstack3(a, ke_scr, _HOP)
-    # odd K-stack interleaves (br, bi) per pass: [br_h|bi_h|br_l|bi_l|..]
-    brh = br.astype(jnp.bfloat16)
-    brl = (br - brh.astype(jnp.float32)).astype(jnp.bfloat16)
-    bih = bi.astype(jnp.bfloat16)
-    bil = (bi - bih.astype(jnp.float32)).astype(jnp.bfloat16)
-    ko_scr[:, 0 * _HOP:1 * _HOP] = brh
-    ko_scr[:, 1 * _HOP:2 * _HOP] = bih
-    ko_scr[:, 2 * _HOP:3 * _HOP] = brh
-    ko_scr[:, 3 * _HOP:4 * _HOP] = bih
-    ko_scr[:, 4 * _HOP:5 * _HOP] = brl
-    ko_scr[:, 5 * _HOP:6 * _HOP] = bil
+    for mic in range(n_mics):
+        _assemble_quarter(q, nblk, wav_ref, edge_ref, mic, x_scr)
+        y0 = x_scr[:_QUARTER] * w0_ref[...]
+        y1 = x_scr[1:_QUARTER + 1] * w1_ref[...]
+        a = y0 + y1
+        d = y0 - y1
+        r0 = mic * _QUARTER
+        _kstack3(a, ke_scr.at[r0:r0 + _QUARTER], _HOP)
+        _kstack3(d, ko_scr.at[r0:r0 + _QUARTER], _HOP)
     ev = dot(ke_scr[...], bek_ref[...])
     od = dot(ko_scr[...], bok_ref[...])
     return ev, od
 
 
 def _stft_covar_kernel(n_mics, nblk, n_valid_t, wav_ref, edge_ref, mask_ref,
-                       bek_ref, bok_ref, w0_ref, w1_ref, twr_ref, twi_ref,
-                       rs_re_ref, rs_im_ref, rn_re_ref, rn_im_ref, x_scr,
-                       ke_scr, ko_scr, spec_scr):
+                       maskny_ref, permp_ref, bek_ref, bok_ref, w0_ref,
+                       w1_ref, rs_re_ref, rs_im_ref, rn_re_ref, rn_im_ref,
+                       x_scr, ke_scr, ko_scr):
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     outs = (rs_re_ref, rs_im_ref, rn_re_ref, rn_im_ref)
     for o in outs:
         o[...] = jnp.zeros_like(o)
+    # permute the natural-order mask into scrambled lane order with an
+    # exact one-hot matmul (an XLA lane gather OR minor-dim pad each
+    # measured 4-6 ms at the bench shape; the 0/1 matrix is exact in
+    # bf16 and two mask hi/lo passes reconstruct f32 to ~2^-16 relative
+    # — far inside tolerance).  The Nyquist-bin mask rides its own tiny
+    # lane-broadcast plane: nyquist spectrum lanes 1..127 are zero, so
+    # the broadcast is harmless there.
+    ms_nat = mask_ref[0]                               # (512, 256)
+    mh = ms_nat.astype(jnp.bfloat16)
+    mlo = (ms_nat - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+    msp = dot(mh, permp_ref[...]) + dot(mlo, permp_ref[...])  # (512, 256)
+    zero_t = jnp.zeros((_QUARTER, _LANES), jnp.float32)
     for q in range(_T_PAD // _QUARTER):
-        for mic in range(n_mics):
-            _assemble_quarter(q, nblk, wav_ref, edge_ref, mic, x_scr)
-            ev, od = _dif_quarter(x_scr, bek_ref, bok_ref, w0_ref, w1_ref,
-                                  twr_ref, twi_ref, ke_scr, ko_scr)
-            # spec lanes [re_e|im_e|ny|re_o|im_o|z]; covariance pairs
-            # walk (re, im) tile pairs (0,1), (3,4), (2,5=zero tile)
-            spec_scr[mic, :, 0:128] = ev[:, 0:128]
-            spec_scr[mic, :, 128:256] = ev[:, 128:256]
-            spec_scr[mic, :, 256:384] = ev[:, 256:384]
-            spec_scr[mic, :, 384:512] = od[:, 0:128]
-            spec_scr[mic, :, 512:640] = od[:, 128:256]
-            if q == 0:
-                spec_scr[mic, :, 640:768] = jnp.zeros((_QUARTER, 128),
-                                                      jnp.float32)
+        ev, od = _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref,
+                                  bek_ref, bok_ref, w0_ref, w1_ref, x_scr,
+                                  ke_scr, ko_scr)
         row0 = q * _QUARTER
-        ms_q = mask_ref[0, row0:row0 + _QUARTER]         # (128, 384)
         valid = (jax.lax.broadcasted_iota(
-            jnp.int32, (_QUARTER, 384), 0) + row0 < n_valid_t).astype(
+            jnp.int32, (_QUARTER, 256), 0) + row0 < n_valid_t).astype(
                 jnp.float32)
+        ms_q = msp[row0:row0 + _QUARTER]               # (128, 256)
         mn_q = (1.0 - ms_q) * valid
-        # (re lane tile, im lane tile, mask col tile, out lane tile):
-        # covar output lanes stay compact [re_e|re_o|ny...] = bins 0..256
-        tiles = ((0, 128, 0, 0), (384, 512, 128, 128), (256, 640, 256, 256))
+        ms_ny = maskny_ref[0, row0:row0 + _QUARTER]    # (128, 128)
+        mn_ny = (1.0 - ms_ny) * valid[:, 0:128]
+
+        def tile(mic, which):
+            r0 = mic * _QUARTER
+            if which == 0:                             # even bins
+                return (ev[r0:r0 + _QUARTER, 0:128],
+                        ev[r0:r0 + _QUARTER, 128:256])
+            if which == 1:                             # odd bins
+                return (od[r0:r0 + _QUARTER, 0:128],
+                        od[r0:r0 + _QUARTER, 128:256])
+            return ev[r0:r0 + _QUARTER, 256:384], zero_t   # nyquist
+
+        # covariance output lanes stay compact [even|odd|ny] = the 257
+        # bins in scrambled order
         for a_i in range(n_mics):
             for b_i in range(a_i, n_mics):
-                for (rlo, ilo, mlo, olo) in tiles:
-                    xa_re = spec_scr[a_i, :, rlo:rlo + 128]
-                    xa_im = spec_scr[a_i, :, ilo:ilo + 128]
-                    yb_re = spec_scr[b_i, :, rlo:rlo + 128]
-                    yb_im = spec_scr[b_i, :, ilo:ilo + 128]
+                for which, olo in ((0, 0), (1, 128), (2, 256)):
+                    xa_re, xa_im = tile(a_i, which)
+                    yb_re, yb_im = tile(b_i, which)
                     p_re = xa_re * yb_re + xa_im * yb_im
                     p_im = xa_im * yb_re - xa_re * yb_im
-                    ms_t = ms_q[:, mlo:mlo + 128]
-                    mn_t = mn_q[:, mlo:mlo + 128]
+                    if which == 2:
+                        ms_t, mn_t = ms_ny, mn_ny
+                    else:
+                        ms_t = ms_q[:, olo:olo + 128]
+                        mn_t = mn_q[:, olo:olo + 128]
                     rs_re_ref[0, a_i, b_i, olo:olo + 128] += jnp.sum(
                         ms_t * p_re, axis=0)
                     rs_im_ref[0, a_i, b_i, olo:olo + 128] += jnp.sum(
@@ -284,23 +295,36 @@ def _stft_covar_kernel(n_mics, nblk, n_valid_t, wav_ref, edge_ref, mask_ref,
             rn_im_ref[0, b_i, a_i] = -rn_im_ref[0, a_i, b_i]
 
 
+@lru_cache(maxsize=None)
+def _perm_matrix():
+    """One-hot (256, 256) bf16: natural mask columns (bins 0..255) ->
+    scrambled lane order [even | odd] (0/1 is exact in bf16)."""
+    perm = lane_permutation()[:_FH]
+    p = np.zeros((_FH, _FH), np.float32)
+    p[perm, np.arange(_FH)] = 1.0
+    return np.asarray(p.astype(jnp.bfloat16))
+
+
 @partial(jax.jit, static_argnames=("window_key", "n_valid_t", "interpret"))
-def stft_covar_pallas(wavb: jax.Array, edges: jax.Array,
-                      mask_lanes: jax.Array, window_key: bytes,
+def stft_covar_pallas(wavb: jax.Array, edges: jax.Array, mask0: jax.Array,
+                      mask_ny: jax.Array, window_key: bytes,
                       n_valid_t: int, interpret: bool = False):
     """Fused framing + DIF DFT + masked Rs/Rn pair covariance.
 
     wavb (B, N, nblk, 256) zero-copy hop blocks; edges (B, N, 2, 256)
-    [reflect-head, reflect-tail]; mask_lanes (B, 512, 384) f32 in
-    scrambled lane order (cols 0..256 = bins, zero rows >= n_valid_t).
-    Returns 4 planes (B, N, N, 768) f32 — unnormalized covariance
-    numerators, lanes 0..256 = the 257 bins in scrambled order.
+    [reflect-head, reflect-tail]; mask0 (B, 512, 256) f32 = mask bins
+    0..255 in NATURAL order row-padded to 512 (the kernel permutes to
+    lane order internally — both minor-dim pads and lane gathers are
+    slow in XLA); mask_ny (B, 512, 128) = the Nyquist-bin mask
+    broadcast over lanes.  Returns 4 planes (B, N, N, 768) f32 —
+    unnormalized covariance numerators, lanes 0..256 = the 257 bins in
+    scrambled [even|odd|ny] order.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     b, n, nblk, hop = wavb.shape
-    bek, bok, w0, w1, twr, twi = (jnp.asarray(v)
-                                  for v in _dif_bases(window_key))
+    bek, bok, w0, w1 = (jnp.asarray(v) for v in _dif_bases(window_key))
+    permp = jnp.asarray(_perm_matrix())
 
     def const(arr):
         nd = arr.ndim
@@ -311,54 +335,59 @@ def stft_covar_pallas(wavb: jax.Array, edges: jax.Array,
                             memory_space=pltpu.VMEM)
     edge_spec = pl.BlockSpec((1, n, 2, hop), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, _T_PAD, 384), lambda i: (i, 0, 0),
+    mask_spec = pl.BlockSpec((1, _T_PAD, _FH), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    maskny_spec = pl.BlockSpec((1, _T_PAD, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, n, n, _L), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, n, n, _L), jnp.float32)
     return pl.pallas_call(
         partial(_stft_covar_kernel, n, nblk, n_valid_t),
         grid=(b,),
-        in_specs=[wav_spec, edge_spec, mask_spec, const(bek), const(bok),
-                  const(w0), const(w1), const(twr), const(twi)],
+        in_specs=[wav_spec, edge_spec, mask_spec, maskny_spec,
+                  const(permp), const(bek), const(bok), const(w0),
+                  const(w1)],
         out_specs=[out_spec] * 4,
         out_shape=[out_shape] * 4,
         scratch_shapes=[
             pltpu.VMEM((_QUARTER + 1, hop), jnp.float32),
-            pltpu.VMEM((_QUARTER, 3 * hop), jnp.bfloat16),
-            pltpu.VMEM((_QUARTER, 6 * hop), jnp.bfloat16),
-            pltpu.VMEM((n, _QUARTER, _L), jnp.float32),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(wavb, edges, mask_lanes, bek, bok, w0, w1, twr, twi)
+    )(wavb, edges, mask0, mask_ny, permp, bek, bok, w0, w1)
 
 
 def _beamform_istft_kernel(n_mics, nblk, nblk_out, wav_ref, edge_ref,
                            wcat_ref, bek_ref, bok_ref, w0_ref, w1_ref,
-                           twr_ref, twi_ref, aek_ref, aok_ref, ws0_ref,
+                           aek_ref, aok_ref, ws0_ref,
                            ws1_ref, wss_ref, out_ref, x_scr, ke_scr, ko_scr,
                            enh_scr, kie_scr, kio_scr, ola_scr):
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     ola_scr[...] = jnp.zeros_like(ola_scr)
     for q in range(_T_PAD // _QUARTER):
         row0 = q * _QUARTER
+        ev, od = _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref,
+                                  bek_ref, bok_ref, w0_ref, w1_ref,
+                                  x_scr, ke_scr, ko_scr)
         # enhanced spectrum lanes: [ere|eie|eny-tile|ero|eio]
         enh_scr[...] = jnp.zeros_like(enh_scr)
         for mic in range(n_mics):
-            _assemble_quarter(q, nblk, wav_ref, edge_ref, mic, x_scr)
-            ev, od = _dif_quarter(x_scr, bek_ref, bok_ref, w0_ref, w1_ref,
-                                  twr_ref, twi_ref, ke_scr, ko_scr)
+            r0 = mic * _QUARTER
             # wcat (1, N, 640): [wr_e|wr_o|wi_e|wi_o|wny-tile]
             wr_e = wcat_ref[0, mic, 0:128]
             wr_o = wcat_ref[0, mic, 128:256]
             wi_e = wcat_ref[0, mic, 256:384]
             wi_o = wcat_ref[0, mic, 384:512]
             wny = wcat_ref[0, mic, 512:640]
-            re_e, im_e = ev[:, 0:128], ev[:, 128:256]
-            ny = ev[:, 256:384]
-            re_o, im_o = od[:, 0:128], od[:, 128:256]
+            re_e = ev[r0:r0 + _QUARTER, 0:128]
+            im_e = ev[r0:r0 + _QUARTER, 128:256]
+            ny = ev[r0:r0 + _QUARTER, 256:384]
+            re_o = od[r0:r0 + _QUARTER, 0:128]
+            im_o = od[r0:r0 + _QUARTER, 128:256]
             # enh = sum_mic conj(w) * obs
             enh_scr[:, 0:128] += wr_e * re_e + wi_e * im_e
             enh_scr[:, 128:256] += wr_e * im_e - wi_e * re_e
@@ -396,8 +425,7 @@ def beamform_istft_pallas(wavb: jax.Array, edges: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     b, n, nblk, hop = wavb.shape
-    bek, bok, w0, w1, twr, twi = (jnp.asarray(v)
-                                  for v in _dif_bases(window_key))
+    bek, bok, w0, w1 = (jnp.asarray(v) for v in _dif_bases(window_key))
     aek, aok, ws0, ws1 = (jnp.asarray(v)
                           for v in _dit_inverse_bases(window_key))
 
@@ -418,7 +446,7 @@ def beamform_istft_pallas(wavb: jax.Array, edges: jax.Array,
         partial(_beamform_istft_kernel, n, nblk, nblk_out),
         grid=(b,),
         in_specs=[wav_spec, edge_spec, wcat_spec, const(bek), const(bok),
-                  const(w0), const(w1), const(twr), const(twi), const(aek),
+                  const(w0), const(w1), const(aek),
                   const(aok), const(ws0), const(ws1), const(wss_inv)],
         out_specs=[out_spec],
         out_shape=[
@@ -426,8 +454,8 @@ def beamform_istft_pallas(wavb: jax.Array, edges: jax.Array,
         ],
         scratch_shapes=[
             pltpu.VMEM((_QUARTER + 1, hop), jnp.float32),
-            pltpu.VMEM((_QUARTER, 3 * hop), jnp.bfloat16),
-            pltpu.VMEM((_QUARTER, 6 * hop), jnp.bfloat16),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
             pltpu.VMEM((_QUARTER, 640), jnp.float32),
             pltpu.VMEM((_QUARTER, 3 * 384), jnp.bfloat16),
             pltpu.VMEM((_QUARTER, 3 * 256), jnp.bfloat16),
@@ -436,5 +464,5 @@ def beamform_istft_pallas(wavb: jax.Array, edges: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(wavb, edges, wcat, bek, bok, w0, w1, twr, twi, aek, aok, ws0, ws1,
+    )(wavb, edges, wcat, bek, bok, w0, w1, aek, aok, ws0, ws1,
       wss_inv)[0]
