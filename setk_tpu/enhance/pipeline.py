@@ -58,8 +58,12 @@ def mvdr_enhance_fused(wav: jax.Array,
     in VMEM: kernel A emits only the Rs/Rn covariance numerators, the
     MVDR weights solve in the existing lane-batched kernel, and kernel B
     recomputes the DFT to beamform + inverse-transform.  Frequency bins
-    ride in scrambled radix-2 (even|odd) order end to end — only the
-    mask is permuted into lane order (one small gather).
+    ride in scrambled radix-2 (even|odd) order end to end.
+
+    ``wav`` may be int16 (raw decoder output): the kernels convert in
+    VMEM with the 1/32768 scale folded into the analysis window, which
+    halves the dominant waveform HBM traffic; the output matches
+    running on ``wav.astype(float32) / 32768``.
 
     Semantics match mvdr_enhance_planar == enhance_batch(
     beamformer="mvdr", steer="power"); reference call stack

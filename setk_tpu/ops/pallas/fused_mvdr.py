@@ -89,7 +89,7 @@ def _split_hi_lo(x64):
 
 
 @lru_cache(maxsize=None)
-def _dif_bases(window_key):
+def _dif_bases(window_key, scale=1.0):
     """Forward DIF bases + window/twiddle vectors (host constants).
 
     BeK (768, 384) bf16: 3-pass K-stack [hi; lo; hi] for the real
@@ -114,8 +114,11 @@ def _dif_bases(window_key):
     bo = np.concatenate([np.cos(ang_o), -np.sin(ang_o)], axis=1)
     bo_h, bo_l = _split_hi_lo(bo)
     bok = np.concatenate([bo_h, bo_l, bo_h], axis=0)
-    w0 = np.asarray(window[:_HOP], np.float32)
-    w1 = np.asarray(window[_HOP:], np.float32)
+    # an input sample scale (e.g. 1/32768 for int16 wav) folds into the
+    # analysis window vectors; MVDR weights are scale-invariant so the
+    # rest of the pipeline needs no change
+    w0 = np.asarray(window[:_HOP] * scale, np.float32)
+    w1 = np.asarray(window[_HOP:] * scale, np.float32)
     return (np.asarray(bek), np.asarray(bok), w0, w1)
 
 
@@ -190,7 +193,7 @@ def _assemble_quarter(q, nblk, wav_ref, edge_ref, mic, x_scr):
     zpos = max(min(nblk + 2, bhi) - blo, 0)
     if zpos < _QUARTER + 1:
         x_scr[zpos:_QUARTER + 1] = jnp.zeros(
-            (_QUARTER + 1 - zpos, _HOP), jnp.float32)
+            (_QUARTER + 1 - zpos, _HOP), x_scr.dtype)
 
 
 def _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref, bek_ref, bok_ref,
@@ -209,8 +212,9 @@ def _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref, bek_ref, bok_ref,
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     for mic in range(n_mics):
         _assemble_quarter(q, nblk, wav_ref, edge_ref, mic, x_scr)
-        y0 = x_scr[:_QUARTER] * w0_ref[...]
-        y1 = x_scr[1:_QUARTER + 1] * w1_ref[...]
+        # int16 wav converts to f32 here (the 1/32768 rides w0/w1)
+        y0 = x_scr[:_QUARTER].astype(jnp.float32) * w0_ref[...]
+        y1 = x_scr[1:_QUARTER + 1].astype(jnp.float32) * w1_ref[...]
         a = y0 + y1
         d = y0 - y1
         r0 = mic * _QUARTER
@@ -323,7 +327,9 @@ def stft_covar_pallas(wavb: jax.Array, edges: jax.Array, mask0: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     b, n, nblk, hop = wavb.shape
-    bek, bok, w0, w1 = (jnp.asarray(v) for v in _dif_bases(window_key))
+    scale = 1.0 / 32768.0 if wavb.dtype == jnp.int16 else 1.0
+    bek, bok, w0, w1 = (jnp.asarray(v)
+                        for v in _dif_bases(window_key, scale))
     permp = jnp.asarray(_perm_matrix())
 
     def const(arr):
@@ -351,7 +357,7 @@ def stft_covar_pallas(wavb: jax.Array, edges: jax.Array, mask0: jax.Array,
         out_specs=[out_spec] * 4,
         out_shape=[out_shape] * 4,
         scratch_shapes=[
-            pltpu.VMEM((_QUARTER + 1, hop), jnp.float32),
+            pltpu.VMEM((_QUARTER + 1, hop), wavb.dtype),
             pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
             pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
         ],
@@ -425,7 +431,9 @@ def beamform_istft_pallas(wavb: jax.Array, edges: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     b, n, nblk, hop = wavb.shape
-    bek, bok, w0, w1 = (jnp.asarray(v) for v in _dif_bases(window_key))
+    scale = 1.0 / 32768.0 if wavb.dtype == jnp.int16 else 1.0
+    bek, bok, w0, w1 = (jnp.asarray(v)
+                        for v in _dif_bases(window_key, scale))
     aek, aok, ws0, ws1 = (jnp.asarray(v)
                           for v in _dit_inverse_bases(window_key))
 
@@ -453,7 +461,7 @@ def beamform_istft_pallas(wavb: jax.Array, edges: jax.Array,
             jax.ShapeDtypeStruct((b, nblk_out, hop), jnp.float32)
         ],
         scratch_shapes=[
-            pltpu.VMEM((_QUARTER + 1, hop), jnp.float32),
+            pltpu.VMEM((_QUARTER + 1, hop), wavb.dtype),
             pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
             pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
             pltpu.VMEM((_QUARTER, 640), jnp.float32),

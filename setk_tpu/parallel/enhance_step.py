@@ -53,9 +53,14 @@ def enhance_batch(wav: jax.Array,
                                                planar_supported)
         out_samps = nsamps if nsamps is not None else wav.shape[-1]
         if fused_supported(cfg, wav.shape[-2], wav.shape[-1], out_samps):
+            # int16 wav goes straight in (converted in VMEM)
             return mvdr_enhance_fused(wav, mask_s, cfg, nsamps=nsamps)
+        if wav.dtype == jnp.int16:
+            wav = wav.astype(jnp.float32) / 32768.0
         if planar_supported(cfg, wav.shape[-2]):
             return mvdr_enhance_planar(wav, mask_s, cfg, nsamps=nsamps)
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) / 32768.0
     spec = forward_stft(wav, cfg)  # (B, N, T, F)
     obs = jnp.transpose(spec, (0, 3, 1, 2))  # (B, F, N, T)
     mask = jnp.transpose(mask_s, (0, 2, 1))  # (B, F, T)

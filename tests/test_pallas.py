@@ -319,3 +319,21 @@ def test_fused_mvdr_short_signal(rng):
     out_f = np.asarray(mvdr_enhance_fused(wav, mask, cfg, interpret=True))
     out_p = np.asarray(mvdr_enhance_planar(wav, mask, cfg, interpret=True))
     assert np.abs(out_f - out_p).max() / np.abs(out_p).max() < 1e-3
+
+
+def test_fused_mvdr_int16_input(rng):
+    """int16 wav converts in VMEM (scale folded into the window) and
+    matches the f32/32768 result."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig
+    from setk_tpu.enhance.pipeline import mvdr_enhance_fused
+    cfg = StftConfig()
+    B, N, S = 1, 2, 8192
+    w16 = (rng.standard_normal((B, N, S)) * 3000).astype(np.int16)
+    mask = jnp.asarray(
+        rng.random((B, cfg.num_frames(S), cfg.num_bins)).astype(np.float32))
+    out_i = np.asarray(
+        mvdr_enhance_fused(jnp.asarray(w16), mask, cfg, interpret=True))
+    wf = jnp.asarray(w16.astype(np.float32) / 32768.0)
+    out_f = np.asarray(mvdr_enhance_fused(wf, mask, cfg, interpret=True))
+    assert np.abs(out_i - out_f).max() / np.abs(out_f).max() < 1e-4
