@@ -20,17 +20,20 @@ cheaper than the spectrum round trip at the chip's ~210 GB/s.
 
 **Radix-2 DIF with scrambled frequency lanes.**  The windowed frame
 y = [w0*x0 | w1*x1] (50%-overlap hop blocks) splits as
-    a = w0*x0 + w1*x1                 (real, 256)
-    b = (w0*x0 - w1*x1) * tw,         tw[n] = exp(-i*pi*n/256)
-with DFT512(y)[2k] = DFT256(a)[k] and DFT512(y)[2k+1] = DFT256(b)[k] —
-40% fewer matmul MACs than the direct folded-basis DFT, with the
-butterflies as cheap VPU elementwise ops.  Bins stay in *scrambled*
-(even|odd) order through the whole pipeline: covariance, solve and
-beamforming are bin-order-agnostic, and the inverse kernel's DIT basis
-is built in the same order, so nothing ever unscrambles.  Each 3-pass
-product (the bf16 hi/lo error compensation XLA's "high" precision uses)
-is laid out as ONE K-stacked matmul so the MXU accumulates the passes
-internally.
+    a = w0*x0 + w1*x1,    d = w0*x0 - w1*x1          (both real, 256)
+with DFT512(y)[2k] = DFT256(a)[k] and DFT512(y)[2k+1] = the
+"odd-frequency" real-input DFT of d (the DIF twiddle exp(-i pi n/256)
+folds into that basis) — ~50% fewer matmul MACs than the direct
+folded-basis DFT, with the butterflies as two VPU adds.  Bins stay in
+*scrambled* (even|odd) order through the whole pipeline: covariance,
+solve and beamforming are bin-order-agnostic, and the inverse kernel's
+DIT basis is built in the same order, so nothing ever unscrambles.
+Each 3-pass product (the bf16 hi/lo error compensation XLA's "high"
+precision uses) is laid out as ONE K-stacked matmul so the MXU
+accumulates the passes internally, and all mics stack along the matmul
+M dimension so each quarter's DFT is two big dots.  Audio may enter as
+int16 (the decoder's native output): conversion happens in VMEM with
+the 1/32768 scale folded into the analysis window.
 
 Spectrum lane layout inside the kernels (n_fft = 512 only; other
 geometries take the planar v2 or XLA paths):
@@ -275,19 +278,25 @@ def _stft_covar_kernel(n_mics, nblk, n_valid_t, wav_ref, edge_ref, mask_ref,
                 for which, olo in ((0, 0), (1, 128), (2, 256)):
                     xa_re, xa_im = tile(a_i, which)
                     yb_re, yb_im = tile(b_i, which)
-                    p_re = xa_re * yb_re + xa_im * yb_im
-                    p_im = xa_im * yb_re - xa_re * yb_im
-                    if which == 2:
+                    if which == 2:  # nyquist tile is real-valued
+                        p_re = xa_re * yb_re
                         ms_t, mn_t = ms_ny, mn_ny
                     else:
+                        p_re = xa_re * yb_re + xa_im * yb_im
                         ms_t = ms_q[:, olo:olo + 128]
                         mn_t = mn_q[:, olo:olo + 128]
                     rs_re_ref[0, a_i, b_i, olo:olo + 128] += jnp.sum(
                         ms_t * p_re, axis=0)
-                    rs_im_ref[0, a_i, b_i, olo:olo + 128] += jnp.sum(
-                        ms_t * p_im, axis=0)
                     rn_re_ref[0, a_i, b_i, olo:olo + 128] += jnp.sum(
                         mn_t * p_re, axis=0)
+                    # imaginary part: identically zero for diagonal
+                    # pairs and for the real-valued Nyquist tile — the
+                    # zero-initialized output rows already hold it
+                    if a_i == b_i or which == 2:
+                        continue
+                    p_im = xa_im * yb_re - xa_re * yb_im
+                    rs_im_ref[0, a_i, b_i, olo:olo + 128] += jnp.sum(
+                        ms_t * p_im, axis=0)
                     rn_im_ref[0, a_i, b_i, olo:olo + 128] += jnp.sum(
                         mn_t * p_im, axis=0)
     # mirror the Hermitian lower triangle
