@@ -1,0 +1,43 @@
+"""Shared scan-chained timing for the TPU benchmarks.
+
+Methodology (see bench.py): the remote runtime's async dispatch makes
+block_until_ready unreliable and each Python-dispatched call carries a
+fixed ~2.5 ms, so iterations are chained *inside one lax.scan program*
+(each step's carry consumes the previous step's output) and the chain
+is forced by one scalar fetch; compile time is excluded by timing the
+second call.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["timed_scan"]
+
+
+def timed_scan(name, body, init_carry, audio_s, iters=6):
+    """body(carry) -> carry, chained ``iters`` times inside one jit.
+
+    Prints per-step latency and audio-seconds/s; returns the rate.
+    """
+
+    @jax.jit
+    def run(c):
+        def f(c, _):
+            return body(c), ()
+
+        c, _ = jax.lax.scan(f, c, None, length=iters)
+        return c
+
+    first = lambda c: c[0] if isinstance(c, tuple) else c
+    c = run(init_carry)
+    float(jnp.sum(jnp.abs(first(c))))
+    t0 = time.perf_counter()
+    c = run(c)
+    float(jnp.sum(jnp.abs(first(c))))
+    dt = (time.perf_counter() - t0) / iters
+    rate = audio_s / dt
+    print(f"{name:>40}: {dt*1e3:8.2f} ms/step  ({rate:9.0f} audio-s/s)",
+          flush=True)
+    return rate

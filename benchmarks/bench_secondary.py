@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Secondary throughput rows of README.md, reproducible on the chip.
+
+Rows (bench.py measures the headline B=128 x 8 s MVDR row):
+  * mask-based MVDR enhance, B=32 x 4 s (small-batch / latency regime)
+  * batched CACGMM, 20 EM iterations (B=8, 4 s, 6 ch)
+  * batched WPE (B=32, 6 ch, 8 s, 10 taps, 3 iterations)
+
+Run: python benchmarks/bench_secondary.py   (real TPU; ~10 min with
+compiles).  Prints one line per row.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _timing import timed_scan
+from setk_tpu.dsp.stft import StftConfig, forward_stft
+from setk_tpu.enhance.cluster import cacgmm_em
+from setk_tpu.enhance.wpe import wpe
+from setk_tpu.parallel.enhance_step import enhance_batch
+
+cfg = StftConfig()
+SR = 16000
+rng = np.random.default_rng(0)
+
+
+def main():
+    # --- small-batch MVDR (B=32 x 4 s, int16 PCM input) ---
+    B, N, S = 32, 6, 4 * SR
+    wav = jax.device_put((rng.standard_normal((B, N, S)) * 3000).astype(
+        np.int16))
+    mask = jax.device_put(
+        rng.random((B, cfg.num_frames(S), cfg.num_bins)).astype(np.float32))
+
+    def mvdr_body(m):
+        out = enhance_batch(wav, m, cfg, beamformer="mvdr")
+        return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9
+
+    timed_scan("MVDR B=32 x 4 s", mvdr_body, mask, B * 4)
+
+    # --- CACGMM, 20 EM iterations (B=8 x 4 s) ---
+    BE, SE = 8, 4 * SR
+    we = (rng.standard_normal((BE, 6, SE)) * 0.2).astype(np.float32)
+    spec = forward_stft(jnp.asarray(we), cfg)
+    obs = jax.device_put(jnp.transpose(spec, (0, 3, 1, 2)))  # (B, F, N, T)
+
+    def em_body(o):
+        gamma, _ = cacgmm_em(o, 2, num_iters=20)
+        return o * 0.9999 + jnp.mean(gamma).astype(o.dtype) * 1e-9
+
+    timed_scan("CACGMM 20 it B=8 x 4 s", em_body, obs, BE * 4, iters=3)
+
+    # --- WPE (B=32, 6 ch, 8 s, 10 taps, 3 iterations) ---
+    BW, SW = 32, 8 * SR
+    ww = (rng.standard_normal((BW, 6, SW)) * 0.2).astype(np.float32)
+    specw = forward_stft(jnp.asarray(ww), cfg)
+    obsw = jax.device_put(jnp.transpose(specw, (0, 3, 1, 2)))
+
+    def wpe_body(o):
+        d = wpe(o, taps=10, delay=3, context=1, num_iters=3)
+        return o * 0.9999 + jnp.mean(jnp.abs(d)).astype(o.dtype) * 1e-9
+
+    timed_scan("WPE B=32 x 8 s (10 taps, 3 it)", wpe_body, obsw, BW * 8,
+               iters=3)
+
+
+if __name__ == "__main__":
+    main()
