@@ -19,6 +19,20 @@ import jax.numpy as jnp
 __all__ = ["MaskNet", "make_model", "quadratic_loss"]
 
 
+def _shifted_frames(x, offsets):
+    """Edge-clamped time-shifted copies via ONE edge pad + static slices.
+
+    The earlier clipped-index gather formulation backpropagates as
+    scatter-adds — measured ~10x of a DNN training step's time on TPU;
+    pad+slice differentiates as slice+pad (streaming copies)."""
+    t = x.shape[-2]
+    left = max(-min(offsets), 0)
+    right = max(max(offsets), 0)
+    pad = [(0, 0)] * (x.ndim - 2) + [(left, right), (0, 0)]
+    xp = jnp.pad(x, pad, mode="edge")
+    return [xp[..., off + left:off + left + t, :] for off in offsets]
+
+
 class SpliceFrames(nn.Module):
     """Context splicing: concat [-left, +right] neighbor frames."""
     left: int = 2
@@ -27,12 +41,8 @@ class SpliceFrames(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (B, T, F)
-        ctx = []
-        t = x.shape[-2]
-        for off in range(-self.left, self.right + 1):
-            idx = jnp.clip(jnp.arange(t) + off, 0, t - 1)
-            ctx.append(x[..., idx, :])
-        return jnp.concatenate(ctx, axis=-1)
+        offs = list(range(-self.left, self.right + 1))
+        return jnp.concatenate(_shifted_frames(x, offs), axis=-1)
 
 
 class TdnnBlock(nn.Module):
@@ -42,10 +52,7 @@ class TdnnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        t = x.shape[-2]
-        offsets = (-self.dilation, 0, self.dilation)
-        ctx = [x[..., jnp.clip(jnp.arange(t) + off, 0, t - 1), :]
-               for off in offsets]
+        ctx = _shifted_frames(x, (-self.dilation, 0, self.dilation))
         x = jnp.concatenate(ctx, axis=-1)
         x = nn.Dense(self.dim)(x)
         return nn.relu(nn.LayerNorm()(x))
@@ -85,11 +92,13 @@ class MaskNet(nn.Module):
             for i in range(self.num_layers):
                 x = TdnnBlock(self.hidden, dilation=2**i)(x)
         elif self.arch in ("lstm", "blstm"):
+            # unroll=8: the recurrence is latency-bound on small
+            # sequential matmuls; unrolling lets XLA pipeline them
             for _ in range(self.num_layers):
-                fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))
+                fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), unroll=8)
                 if self.arch == "blstm":
                     bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
-                                 reverse=True, keep_order=True)
+                                 reverse=True, keep_order=True, unroll=8)
                     x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
                 else:
                     x = fwd(x)
