@@ -11,7 +11,8 @@ get baked into jitted programs.
 
 import numpy as np
 
-__all__ = ["make_window", "pad_center", "window_sumsquare"]
+__all__ = ["make_window", "pad_center", "window_sumsquare",
+           "wss_inverse_blocks"]
 
 
 def _periodic_cosine_sum(coeffs, n):
@@ -68,3 +69,16 @@ def window_sumsquare(window: np.ndarray,
         beg = t * frame_hop
         wss[beg:beg + n_fft] += w2
     return wss
+
+
+def wss_inverse_blocks(window: np.ndarray, n_frames: int, frame_hop: int,
+                       n_fft: int, nsamps: int) -> np.ndarray:
+    """Reciprocal window-sum-square envelope for the center-trimmed iSTFT,
+    reshaped to (nsamps // hop, hop) sample blocks (the layout the fused
+    Pallas iSTFT kernels consume).  Zero-envelope samples pass through
+    unscaled, matching dsp.stft.inverse_stft's guard."""
+    wss = window_sumsquare(window, n_frames, frame_hop, n_fft)
+    wss = wss[n_fft // 2:n_fft // 2 + nsamps]
+    tiny = float(np.finfo(np.float32).tiny)
+    inv = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0)
+    return inv.astype(np.float32).reshape(nsamps // frame_hop, frame_hop)

@@ -71,8 +71,9 @@ def mvdr_enhance_fused(wav: jax.Array,
     515-539 (mask_n = 1 - mask_s, no BAN).
     """
     import numpy as np
-    from setk_tpu.dsp.window import window_sumsquare
-    from setk_tpu.ops.pallas.fused_mvdr import (beamform_istft_pallas,
+    from setk_tpu.dsp.window import wss_inverse_blocks
+    from setk_tpu.ops.pallas.fused_mvdr import (_T_PAD,
+                                                beamform_istft_pallas,
                                                 lane_permutation,
                                                 stft_covar_pallas)
     from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas
@@ -85,9 +86,8 @@ def mvdr_enhance_fused(wav: jax.Array,
     out_samps = nsamps if nsamps is not None else s
     window_key = np.asarray(cfg.padded_window, np.float64).tobytes()
 
-    c = cfg.n_fft // 2
     wavb = wav.reshape(b, n, s // hop, hop)           # zero-copy blocks
-    edges = jnp.stack([wav[..., c:0:-1], wav[..., -2:-(c + 2):-1]],
+    edges = jnp.stack([wav[..., fh:0:-1], wav[..., -2:-(fh + 2):-1]],
                       axis=2)                         # (B, N, 2, hop)
 
     # the kernel permutes the mask to lane order internally (one-hot
@@ -95,10 +95,10 @@ def mvdr_enhance_fused(wav: jax.Array,
     # at the bench shape).  Only cheap major-dim row pads happen here;
     # the tiny Nyquist mask rides a lane-broadcast side plane.
     m32 = mask_s.astype(jnp.float32)
-    mask0 = jnp.pad(m32[..., :fh], ((0, 0), (0, 512 - t), (0, 0)))
+    mask0 = jnp.pad(m32[..., :fh], ((0, 0), (0, _T_PAD - t), (0, 0)))
     mask_ny = jnp.pad(
         jnp.broadcast_to(m32[..., fh:fh + 1], (b, t, 128)),
-        ((0, 0), (0, 512 - t), (0, 0)))
+        ((0, 0), (0, _T_PAD - t), (0, 0)))
 
     rs_re, rs_im, rn_re, rn_im = stft_covar_pallas(
         wavb, edges, mask0, mask_ny, window_key, n_valid_t=t,
@@ -125,12 +125,9 @@ def mvdr_enhance_fused(wav: jax.Array,
         [wr, wi, wny, jnp.zeros((b, n, 127), wr.dtype)], axis=-1)
 
     nblk_out = out_samps // hop
-    wss = window_sumsquare(cfg.padded_window, t, hop, cfg.n_fft)
-    wss = wss[cfg.n_fft // 2:cfg.n_fft // 2 + out_samps]
-    tiny = float(np.finfo(np.float32).tiny)
     wss_inv = jnp.asarray(
-        np.where(wss > tiny, 1.0 / np.maximum(wss, tiny),
-                 1.0).astype(np.float32).reshape(nblk_out, hop))
+        wss_inverse_blocks(cfg.padded_window, t, hop, cfg.n_fft,
+                           out_samps))
     out = beamform_istft_pallas(wavb, edges, wcat, wss_inv, window_key,
                                 nblk_out=nblk_out, interpret=interpret)
     return out.reshape(b, nblk_out * hop)
@@ -202,9 +199,8 @@ def mvdr_enhance_planar(wav: jax.Array,
     if istft_pallas_supported(cfg, t_pad, out_samps, t):
         # fused planar iSTFT consumes re/im/nyq planes directly — no
         # complex assembly, no frame materialization.  Beamform runs on
-        # the full T_pad rows (padding rows are exact zeros from the
-        # forward kernel, and the iSTFT trims never read beyond the
-        # valid frames).
+        # the full T_pad rows; padding rows may hold garbage frames but
+        # the iSTFT's OLA indexing never reads rows >= n_frames.
         enh_re = jnp.sum(wr * re + wi * im, axis=1)         # (B, T_pad, FH)
         enh_im = jnp.sum(wr * im - wi * re, axis=1)
         ny_re = jnp.sum(jnp.real(w_ny)[:, :, None] * nyq, axis=1)

@@ -27,18 +27,12 @@ def compute_tap_mat(obs: jax.Array, taps: int, delay: int) -> jax.Array:
     /root/reference/scripts/sptk/libs/wpe.py:14-29.
     """
     *lead, f, n, t = obs.shape
-    d_max = taps - 1 + delay
-    # ONE front pad, then offset slices feeding the concat: padding each
-    # tap separately restrides the (B, F, N, T) array taps times along
-    # the minor axis (XLA minor-dim pads measured ~4-6 ms each at the
-    # bench shapes)
-    pad = [(0, 0)] * (obs.ndim - 1) + [(d_max, 0)]
-    padded = jnp.pad(obs, pad)
     blocks = []
     for k in range(taps):
         d = k + delay
         if d < t:
-            blocks.append(padded[..., d_max - d:d_max - d + t])
+            pad = [(0, 0)] * (obs.ndim - 1) + [(d, 0)]
+            blocks.append(jnp.pad(obs[..., :t - d], pad))
         else:
             blocks.append(jnp.zeros_like(obs))
     return jnp.concatenate(blocks, axis=-2)
@@ -51,24 +45,17 @@ def compute_lambda(dereverb: jax.Array, context: int = 0) -> jax.Array:
     frames with edge-correct counts
     (/root/reference/scripts/sptk/libs/wpe.py:32-55).
     """
-    import numpy as np
     power = jnp.mean(jnp.real(dereverb)**2 + jnp.imag(dereverb)**2, axis=-2)
     t = power.shape[-1]
-    if context == 0:
-        return jnp.maximum(power, EPSILON)
-    # ONE pad + fused offset-slice adds (per-shift pads restride the
-    # (B, F, T) array along its minor axis — measured ~7 ms of the
-    # 10.9 ms lambda stage at the WPE bench shape); the edge counts are
-    # a host-side constant
-    pad = [(0, 0)] * (power.ndim - 1) + [(context, context)]
-    pp = jnp.pad(power, pad)
-    acc = pp[..., 0:t]
-    for i in range(1, 2 * context + 1):
-        acc = acc + pp[..., i:i + t]
-    idx = np.arange(t)
-    counts = (np.minimum(idx + context, t - 1) -
-              np.maximum(idx - context, 0) + 1).astype(np.float32)
-    return jnp.maximum(acc / jnp.asarray(counts), EPSILON)
+    acc = jnp.zeros_like(power)
+    counts = jnp.zeros((t,), dtype=power.dtype)
+    for c in range(-context, context + 1):
+        s, e = max(c, 0), min(t, t + c)
+        src_s, src_e = max(-c, 0), min(t, t - c)
+        pad = [(0, 0)] * (power.ndim - 1) + [(s, t - e)]
+        acc = acc + jnp.pad(power[..., src_s:src_e], pad)
+        counts = counts.at[s:e].add(1.0)
+    return jnp.maximum(acc / counts, EPSILON)
 
 
 def wpe_step(reverb: jax.Array, taps_mat: jax.Array,

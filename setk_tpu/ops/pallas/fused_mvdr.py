@@ -75,6 +75,7 @@ def fused_mvdr_supported(cfg, num_mics: int, nsamps: int,
     t = cfg.num_frames(nsamps)
     return (cfg.n_fft == _NFFT and cfg.frame_hop == _HOP and cfg.center
             and num_mics <= 8 and nsamps % _HOP == 0 and t <= _T_PAD
+            and nsamps >= _NFFT  # reflect edges need two hop blocks
             and out_samps == (t - 1) * _HOP)
 
 
@@ -84,11 +85,7 @@ def lane_permutation():
         [np.arange(0, _FH, 2), np.arange(1, _FH, 2), [_FH]])
 
 
-def _split_hi_lo(x64):
-    hi = np.asarray(x64, np.float32).astype(jnp.bfloat16)
-    lo = (np.asarray(x64, np.float32) -
-          np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-    return np.asarray(hi), np.asarray(lo)
+from setk_tpu.ops.pallas.common import split_hi_lo as _split_hi_lo
 
 
 @lru_cache(maxsize=None)
@@ -249,6 +246,8 @@ def _stft_covar_kernel(n_mics, nblk, n_valid_t, wav_ref, edge_ref, mask_ref,
     msp = dot(mh, permp_ref[...]) + dot(mlo, permp_ref[...])  # (512, 256)
     zero_t = jnp.zeros((_QUARTER, _LANES), jnp.float32)
     for q in range(_T_PAD // _QUARTER):
+        if q * _QUARTER > nblk + 1:
+            break  # quarter holds only zero pad blocks (static skip)
         ev, od = _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref,
                                   bek_ref, bok_ref, w0_ref, w1_ref, x_scr,
                                   ke_scr, ko_scr)
@@ -384,6 +383,8 @@ def _beamform_istft_kernel(n_mics, nblk, nblk_out, wav_ref, edge_ref,
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
     ola_scr[...] = jnp.zeros_like(ola_scr)
     for q in range(_T_PAD // _QUARTER):
+        if q * _QUARTER > nblk + 1:
+            break  # quarter holds only zero pad blocks (static skip)
         row0 = q * _QUARTER
         ev, od = _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref,
                                   bek_ref, bok_ref, w0_ref, w1_ref,

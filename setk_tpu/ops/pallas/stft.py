@@ -375,18 +375,15 @@ def inverse_stft_pallas_planar(er: jax.Array, ei: jax.Array, ny: jax.Array,
     squared-window envelope division folds in as a precomputed
     reciprocal multiply; both center trims fold into row indexing.
     """
-    from setk_tpu.dsp.window import window_sumsquare
+    from setk_tpu.dsp.window import wss_inverse_blocks
     n_fft, hop = cfg.n_fft, cfg.frame_hop
     *lead, t_pad, f_half = er.shape
     bsz = int(np.prod(lead)) if lead else 1
     nblk_out = nsamps // hop
     bases, nyrows = _syn_basis(
         n_fft, np.asarray(cfg.padded_window, np.float64).tobytes())
-    wss = window_sumsquare(cfg.padded_window, n_frames, hop, n_fft)
-    wss = wss[n_fft // 2:n_fft // 2 + nsamps]
-    tiny = float(np.finfo(np.float32).tiny)
-    wss_inv = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny),
-                       1.0).astype(np.float32).reshape(nblk_out, hop)
+    wss_inv = wss_inverse_blocks(cfg.padded_window, n_frames, hop, n_fft,
+                                 nsamps)
     out = _istft_pallas(er.reshape(bsz, t_pad, f_half),
                         ei.reshape(bsz, t_pad, f_half),
                         ny.reshape(bsz, t_pad, 1),

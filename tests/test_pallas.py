@@ -337,3 +337,24 @@ def test_fused_mvdr_int16_input(rng):
     wf = jnp.asarray(w16.astype(np.float32) / 32768.0)
     out_f = np.asarray(mvdr_enhance_fused(wf, mask, cfg, interpret=True))
     assert np.abs(out_i - out_f).max() / np.abs(out_f).max() < 1e-4
+
+
+def test_fused_mvdr_single_mic_full_tpad(rng):
+    """Edge cases: N=1 (degenerate pair loop) and exactly T_pad=512
+    frames (no mask row padding)."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig
+    from setk_tpu.enhance.pipeline import (fused_supported,
+                                           mvdr_enhance_fused,
+                                           mvdr_enhance_planar)
+    cfg = StftConfig()
+    S = 511 * 256  # num_frames == 512 == the kernel's frame capacity
+    assert cfg.num_frames(S) == 512
+    wav = jnp.asarray(rng.standard_normal((1, 1, S)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.random((1, 512, cfg.num_bins)).astype(np.float32))
+    assert fused_supported(cfg, 1, S, S)
+    out_f = np.asarray(mvdr_enhance_fused(wav, mask, cfg, interpret=True))
+    out_p = np.asarray(mvdr_enhance_planar(wav, mask, cfg, interpret=True))
+    assert out_f.shape == (1, S)
+    assert np.abs(out_f - out_p).max() / np.abs(out_p).max() < 1e-3
