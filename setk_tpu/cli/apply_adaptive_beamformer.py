@@ -200,15 +200,18 @@ def make_parser():
     parser.add_argument("tgt_mask", help="Target speech masks (scp/dir)")
     parser.add_argument("dst_dir", help="Output directory for wavs")
     parser.add_argument("--beamformer", default="mvdr", choices=BEAMFORMERS)
-    parser.add_argument("--fmt", default="numpy",
+    parser.add_argument("--fmt", "--mask-format", dest="fmt",
+                        default="numpy",
                         choices=["numpy", "kaldi", "exraw"],
                         help="Mask storage format")
     parser.add_argument("--itf-mask", default="",
                         help="Interference masks (optional)")
-    parser.add_argument("--sr", type=int, default=16000)
+    parser.add_argument("--sr", "--sample-rate", dest="sr",
+                        type=int, default=16000)
     parser.add_argument("--ban", type=strtobool, default=False,
                         help="Blind analytic normalization")
-    parser.add_argument("--mask", type=strtobool, default=False,
+    parser.add_argument("--mask", "--post-masking", dest="mask",
+                        type=strtobool, default=False,
                         help="Mask the beamformer output")
     parser.add_argument("--vad-proportion", type=float, default=1.0,
                         help="Energy proportion for VAD mask filtering")
@@ -216,11 +219,14 @@ def make_parser():
                         help="PMWF reference channel (-1: by SNR)")
     parser.add_argument("--rank1-appro", default="",
                         choices=["", "eig", "gev"])
-    parser.add_argument("--chunk-size", type=int, default=-1,
+    parser.add_argument("--chunk-size", "--online.chunk-size",
+                        dest="chunk_size", type=int, default=-1,
                         help=">0 enables online chunked processing")
-    parser.add_argument("--alpha", type=float, default=0.8,
+    parser.add_argument("--alpha", "--online.alpha", dest="alpha",
+                        type=float, default=0.8,
                         help="Online covariance EMA factor")
-    parser.add_argument("--channels", type=int, default=4,
+    parser.add_argument("--channels", "--online.channels",
+                        dest="channels", type=int, default=4,
                         help="(accepted for recipe compatibility)")
     parser.add_argument("--batch-size", type=int, default=1,
                         help=">1 runs bucketed batches through the "

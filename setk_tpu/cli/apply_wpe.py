@@ -12,7 +12,7 @@ from functools import lru_cache
 import numpy as np
 
 from setk_tpu.cli.common import (StftParser, stft_config_from_args,
-                                 pad_to_bucket)
+                                 pad_to_bucket, strtobool)
 from setk_tpu.enhance.wpe import wpe
 from setk_tpu.dsp.stft import inverse_stft
 from setk_tpu.io import SpectrogramReader, WaveWriter
@@ -115,7 +115,14 @@ def make_parser():
     parser.add_argument("--delay", type=int, default=3)
     parser.add_argument("--context", type=int, default=1)
     parser.add_argument("--num-iters", type=int, default=3)
-    parser.add_argument("--sr", type=int, default=16000)
+    parser.add_argument("--sr", "--sample-rate", dest="sr",
+                        type=int, default=16000)
+    parser.add_argument("--nara-wpe", type=strtobool,
+                        default=False,
+                        help="Accepted for reference-CLI "
+                        "compatibility: the built-in WPE "
+                        "already implements the same GWPE "
+                        "recursion (nara_wpe wpe_v6/v8)")
     parser.add_argument("--batch-size", type=int, default=1,
                         help="Bucketed batch execution (throughput path)")
     parser.add_argument("--data-parallel", action="store_true",

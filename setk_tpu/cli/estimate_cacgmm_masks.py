@@ -12,7 +12,7 @@ import numpy as np
 
 from setk_tpu.cli.common import StftParser, stft_config_from_args, strtobool
 from setk_tpu.enhance.cluster import cacgmm_em, permu_aligner
-from setk_tpu.io import SpectrogramReader, NumpyWriter
+from setk_tpu.io import MaskReader, SpectrogramReader, NumpyWriter
 from setk_tpu.utils import get_logger
 from setk_tpu.utils.hostdev import get_complex
 
@@ -22,6 +22,8 @@ logger = get_logger(__name__)
 def _run(args):
     cfg = stft_config_from_args(args)
     reader = SpectrogramReader(args.wav_scp, cfg=cfg, transpose=False)
+    init_reader = (MaskReader(args.fmt, args.init_mask)
+                   if args.init_mask else None)
     import jax
     num_done = 0
     with NumpyWriter(args.dst_dir, args.scp) as writer:
@@ -38,8 +40,17 @@ def _run(args):
                     loaded = np.load(mdl)
                     state = {k: loaded[k] for k in loaded.files}
                     logger.info(f"Resumed EM state from {mdl}")
+            gamma_init = None
+            if init_reader is not None and key in init_reader:
+                # reference semantics: init mask is K x T x F (or T x F
+                # for the speech class of a 2-class model)
+                im = np.asarray(init_reader[key])
+                if im.ndim == 2:
+                    im = np.stack([im, 1.0 - im])
+                gamma_init = np.transpose(im, (0, 2, 1))
             gamma, q_hist, mdl_state = cacgmm_em(
                 obs, args.num_classes, num_iters=args.num_iters,
+                gamma_init=gamma_init,
                 cgmm_init=args.cgmm_init, update_alpha=args.update_alpha,
                 key=jax.random.PRNGKey(args.seed), state=state,
                 return_state=True)
@@ -96,9 +107,12 @@ def _run_batched(args):
 
 def run(args):
     if getattr(args, "batch_size", 1) > 1:
-        # batched accelerator path (jitted EM over utterance buckets)
-        _run_batched(args)
-        return
+        if getattr(args, "init_mask", ""):
+            logger.info("--init-mask given: using the per-utterance path")
+        else:
+            # batched accelerator path (jitted EM over utterance buckets)
+            _run_batched(args)
+            return
     from setk_tpu.utils.hostdev import on_host
     # eager utterance-loop command: pin compute to host CPU
     with on_host():
@@ -127,6 +141,12 @@ def make_parser():
     parser.add_argument("--resume-model", default="",
                         help="Directory with saved EM states to resume from")
     parser.add_argument("--force", type=strtobool, default=False)
+    parser.add_argument("--init-mask", default="",
+                        help="Initial speech masks to seed the EM "
+                        "(K x T x F, or T x F for 2 classes)")
+    parser.add_argument("--fmt", "--mask-format", dest="fmt",
+                        default="numpy", choices=["numpy", "kaldi"],
+                        help="Initial-mask container format")
     return parser
 
 

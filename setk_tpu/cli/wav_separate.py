@@ -73,7 +73,8 @@ def make_parser():
                         choices=["kaldi", "numpy", "exraw"])
     parser.add_argument("--phase-ref", default="",
                         help="Use phase from this wave script instead")
-    parser.add_argument("--mixed-norm", type=strtobool, default=True,
+    parser.add_argument("--mixed-norm", "--use-mixed-norm",
+                        dest="mixed_norm", type=strtobool, default=True,
                         help="Normalize output peak to the mixture's")
     parser.add_argument("--keep-length", type=strtobool, default=True)
     parser.add_argument("--sr", type=int, default=16000)

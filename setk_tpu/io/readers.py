@@ -24,7 +24,7 @@ __all__ = [
     "parse_scps", "Reader", "ScpReader", "DirReader", "WaveReader",
     "SegmentWaveReader", "SpectrogramReader", "NumpyReader", "PickleReader",
     "MatReader", "BinaryReader", "ScriptReader", "ArchiveReader",
-    "ExrawReader", "ExrawScriptReader", "MaskReader"
+    "ExrawReader", "ExrawScriptReader", "MaskReader", "NumpyDirReader"
 ]
 
 
@@ -357,10 +357,25 @@ class ExrawScriptReader(Reader):
         return exraw.deserialize(self._fds[obj], addr)
 
 
+class NumpyDirReader(DirReader):
+    """Directory of ``<key>.npy`` files (the reference's DirReader mask
+    convention, data_handler.py:256-267)."""
+
+    def __init__(self, obj_dir):
+        super().__init__(obj_dir, "npy")
+
+    def _load(self, key):
+        return np.load(self.index_dict[key])
+
+
 def MaskReader(fmt, path, **kwargs):
     """Factory for T-F mask readers by format name, mirroring the CLI
-    ``--mask-format`` switch (numpy/kaldi/exraw)."""
+    ``--mask-format`` switch (numpy/kaldi/exraw).  The numpy flavor
+    accepts either an scp index or a directory of .npy files (reference
+    parity: masks are passed as "scp/dir")."""
     if fmt == "numpy":
+        if Path(path).is_dir():
+            return NumpyDirReader(path)
         return NumpyReader(path)
     if fmt == "kaldi":
         return ScriptReader(path)

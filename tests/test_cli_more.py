@@ -188,3 +188,47 @@ def test_cgmm_resume_model(corpus, tmp_path):
     # posterior agreement on the vast majority of bins
     agree = np.mean(np.abs(resumed - straight) < 0.1)
     assert agree > 0.95, agree
+
+
+def test_cacgmm_init_mask(corpus, tmp_path):
+    """--init-mask seeds the CACGMM EM (reference parity:
+    estimate_cacgmm_masks.py --init-mask / --mask-format)."""
+    # first pass makes a mask we can reuse as the seed
+    _run("estimate_cacgmm_masks", [
+        str(corpus / "wav.scp"), str(tmp_path / "m0"),
+        "--num-iters", "4", "--solve-permu", "false"
+    ])
+    seed_dir = tmp_path / "seed"
+    seed_dir.mkdir()
+    m0 = np.load(tmp_path / "m0" / "utt.npy")  # K x T x F
+    np.save(seed_dir / "utt.npy", m0.astype(np.float32))
+    _run("estimate_cacgmm_masks", [
+        str(corpus / "wav.scp"), str(tmp_path / "m1"),
+        "--num-iters", "2", "--solve-permu", "false",
+        "--init-mask", str(seed_dir), "--mask-format", "numpy"
+    ])
+    m1 = np.load(tmp_path / "m1" / "utt.npy")
+    assert m1.shape == m0.shape
+    assert np.isfinite(m1).all()
+    # seeded run should broadly agree with its seed's class assignment
+    agree = np.mean((m1[0] > 0.5) == (m0[0] > 0.5))
+    assert agree > 0.7, agree
+
+
+def test_reference_flag_aliases():
+    """The reference CLIs' exact flag spellings parse as aliases."""
+    from setk_tpu.cli.apply_adaptive_beamformer import make_parser as bf
+    a = bf().parse_args(["w.scp", "m.scp", "out", "--post-masking", "true",
+                         "--online.alpha", "0.7", "--online.chunk-size",
+                         "64", "--online.channels", "4",
+                         "--mask-format", "kaldi"])
+    assert a.mask and a.alpha == 0.7 and a.chunk_size == 64
+    assert a.fmt == "kaldi"
+    from setk_tpu.cli.apply_wpe import make_parser as wp
+    w = wp().parse_args(["w.scp", "out", "--sample-rate", "8000",
+                         "--nara-wpe", "true"])
+    assert w.sr == 8000 and w.nara_wpe
+    from setk_tpu.cli.wav_separate import make_parser as sep
+    sp = sep().parse_args(["w.scp", "m.scp", "out",
+                           "--use-mixed-norm", "false"])
+    assert not sp.mixed_norm
