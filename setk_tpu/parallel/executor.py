@@ -124,10 +124,14 @@ class BatchEnhancer:
         t_pad = num_frames(bucket, self.cfg)
         f_bins = self.cfg.num_bins
         batch = len(items)
-        # pad batch to a multiple of the data axis
+        # pad batch to a multiple of the data axis; int16 wavs stay
+        # int16 (the fused TPU kernels convert in VMEM — see
+        # enhance/pipeline.mvdr_enhance_fused)
         mult = self._data_multiple()
         full = -(-batch // mult) * mult
-        wavs = np.zeros((full, n_ch, bucket), dtype=np.float32)
+        wav_dt = (np.int16 if all(w.dtype == np.int16 for _, w, _ in items)
+                  else np.float32)
+        wavs = np.zeros((full, n_ch, bucket), dtype=wav_dt)
         masks = np.zeros((full, t_pad, f_bins), dtype=np.float32)
         lengths = []
         for i, (key, wav, mask) in enumerate(items):

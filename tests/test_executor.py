@@ -113,3 +113,26 @@ def test_batch_wpe_matches_single(rng):
         assert got[k].shape == (n, nsamps)
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got[k], ref, atol=1e-4 * scale)
+
+
+def test_batch_enhancer_int16(rng):
+    """int16 wavs flow through the batch executor (the fused TPU kernels
+    convert in VMEM; on CPU enhance_batch converts up front)."""
+    from setk_tpu.dsp import StftConfig
+    from setk_tpu.parallel.executor import BatchEnhancer
+    cfg = StftConfig()
+    n, s = 3, 8192
+    ex = BatchEnhancer(cfg, batch_size=2, samples_per_bucket=8192)
+    t = (s // cfg.frame_hop) + 1
+    outs = {}
+    for key in ("a", "b"):
+        w16 = (rng.standard_normal((n, s)) * 3000).astype(np.int16)
+        mask = rng.random((t, cfg.num_bins)).astype(np.float32)
+        for k, o in ex.add(key, w16, mask):
+            outs[k] = o
+    for k, o in ex.flush():
+        outs[k] = o
+    assert set(outs) == {"a", "b"}
+    for o in outs.values():
+        assert o.dtype == np.float32 and np.isfinite(o).all()
+        assert np.abs(o).max() < 10.0  # normalized scale out

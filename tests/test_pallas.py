@@ -358,3 +358,35 @@ def test_fused_mvdr_single_mic_full_tpad(rng):
     out_p = np.asarray(mvdr_enhance_planar(wav, mask, cfg, interpret=True))
     assert out_f.shape == (1, S)
     assert np.abs(out_f - out_p).max() / np.abs(out_p).max() < 1e-3
+
+
+def test_fused_mvdr_degenerate_inputs(rng):
+    """Near-oracle masks (Rn from ~0.001 weights), near-zero masks,
+    pure tones, a silent channel, full silence — finite everywhere and
+    parity with the planar path (on-chip torture mirrored here)."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig
+    from setk_tpu.enhance.pipeline import (mvdr_enhance_fused,
+                                           mvdr_enhance_planar)
+    cfg = StftConfig()
+    sr, S, B, N = 16000, 8192, 3, 4
+    t = np.arange(S) / sr
+    wav = np.zeros((B, N, S), np.float32)
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5
+    wav[0] = tone[None] + rng.standard_normal((N, S)).astype(np.float32) * 1e-3
+    wav[0, 2] = 0.0                                    # silent channel
+    wav[1] = rng.standard_normal((N, S)).astype(np.float32) * 1e-5
+    wav[2] = np.clip(rng.standard_normal((N, S)) * 0.5, -0.999, 0.999)
+    T, F = cfg.num_frames(S), cfg.num_bins
+    mask = np.ones((B, T, F), np.float32)
+    mask[0] *= 0.999
+    mask[1] *= 0.0001
+    mask[2] = rng.random((T, F)).astype(np.float32)
+    out_f = np.asarray(mvdr_enhance_fused(
+        jnp.asarray(wav), jnp.asarray(mask), cfg, interpret=True))
+    out_p = np.asarray(mvdr_enhance_planar(
+        jnp.asarray(wav), jnp.asarray(mask), cfg, interpret=True))
+    assert np.isfinite(out_f).all()
+    for b in range(B):
+        sc = max(np.abs(out_p[b]).max(), 1e-6)
+        assert np.abs(out_f[b] - out_p[b]).max() / sc < 1e-3
