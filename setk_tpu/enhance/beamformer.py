@@ -29,7 +29,8 @@ __all__ = [
     "compute_covar", "compute_covar_pair", "covar_stats",
     "do_ban", "beamform", "beam_pattern", "rank1_constraint",
     "ds_weights", "sd_weights", "mvdr_weights", "mpdr_weights", "gevd_weights",
-    "pmwf_weights", "supervised_run", "online_supervised_run", "WEIGHT_FNS"
+    "pmwf_weights", "pmwf_select_ref", "supervised_run",
+    "online_supervised_run", "WEIGHT_FNS"
 ]
 
 
@@ -270,11 +271,19 @@ def mpdr_weights(rs: jax.Array,
 
 
 def gevd_weights(rs: jax.Array, rn: jax.Array) -> jax.Array:
-    """Max-SNR / GEV beamformer: principal generalized eigenvector.
+    """Max-SNR / GEV beamformer: principal generalized eigenvector,
+    phase-anchored to channel 0.
 
-    Parity: /root/reference/scripts/sptk/libs/beamformer.py:662-682.
+    The reference returns the raw eigenvector
+    (/root/reference/scripts/sptk/libs/beamformer.py:662-682) whose
+    per-bin phase is solver-arbitrary — two equally-valid runs produce
+    different waveforms through the overlap-add.  Anchoring the phase
+    to a reference channel (the standard GEV phase correction, as in
+    pb_bss) makes the output deterministic and matches the fused TPU
+    kernel's convention; magnitude-domain parity with the reference is
+    unaffected.
     """
-    return solve_pevd(rs, rn)
+    return fix_steer_phase(solve_pevd(rs, rn))
 
 
 def pmwf_weights(rs: jax.Array,
@@ -296,9 +305,15 @@ def pmwf_weights(rs: jax.Array,
     num = hermitian_solve(rn, rs)  # (..., F, N, N)
     den = beta + jnp.trace(num, axis1=-2, axis2=-1)
     weight_mat = num / den[..., None, None]
+    return pmwf_select_ref(weight_mat, rs, rn, ref_channel=ref_channel)
+
+
+def pmwf_select_ref(weight_mat: jax.Array, rs: jax.Array, rn: jax.Array,
+                    ref_channel: int = -1) -> jax.Array:
+    """Pick the PMWF output column: fixed ``ref_channel`` or the
+    SNR-argmax over channels (reference: libs/beamformer.py:620-630)."""
     if ref_channel >= 0:
         return weight_mat[..., ref_channel]
-    # SNR-based reference-channel selection, all channels at once:
     # snr_c = sum_f w_c^H Rs w_c / sum_f w_c^H Rn w_c
     wc = jnp.swapaxes(weight_mat, -1, -2)  # (..., F, C, N) rows = channels
     pow_s = jnp.real(

@@ -33,8 +33,14 @@ from setk_tpu.utils.common import GRAM_PRECISION
 
 __all__ = [
     "mvdr_enhance_planar", "planar_supported", "mvdr_enhance_fused",
-    "fused_supported"
+    "enhance_fused", "fused_supported", "FUSED_BEAMFORMERS"
 ]
+
+# beamformers the fused kernel pair serves: kernels A/B are
+# weight-agnostic (covariances out, packed weights in); only the small
+# (B, F, N, N) -> (B, F, N) weight solve differs per method
+FUSED_BEAMFORMERS = ("mvdr", "gevd", "pmwf-0", "pmwf-1", "mpdr",
+                     "mpdr-whiten")
 
 _LANES = 128
 
@@ -51,8 +57,23 @@ def mvdr_enhance_fused(wav: jax.Array,
                        power_iters: int = 15,
                        nsamps: int | None = None,
                        interpret: bool = False) -> jax.Array:
-    """Zero-spectrum-materialization MVDR: (B, N, S) wav + (B, T, F)
-    speech mask -> (B, S') enhanced wav.
+    """MVDR fast path — see :func:`enhance_fused`."""
+    return enhance_fused(wav, mask_s, cfg, beamformer="mvdr",
+                         power_iters=power_iters, nsamps=nsamps,
+                         interpret=interpret)
+
+
+def enhance_fused(wav: jax.Array,
+                  mask_s: jax.Array,
+                  cfg: StftConfig,
+                  beamformer: str = "mvdr",
+                  ban: bool = False,
+                  steer: str = "power",
+                  power_iters: int = 15,
+                  nsamps: int | None = None,
+                  interpret: bool = False) -> jax.Array:
+    """Zero-spectrum-materialization mask-based beamforming:
+    (B, N, S) wav + (B, T, F) speech mask -> (B, S') enhanced wav.
 
     Two Pallas kernels (ops/pallas/fused_mvdr.py) keep the STFT entirely
     in VMEM: kernel A emits only the Rs/Rn covariance numerators, the
@@ -115,8 +136,40 @@ def mvdr_enhance_fused(wav: jax.Array,
 
     rs = covar(rs_re, rs_im, den_s)
     rn = covar(rn_re, rn_im, den_n)
-    wt = mvdr_power_pallas(rs, rn, power_iters=power_iters,
-                           interpret=interpret)              # (B, 257, N)
+    if beamformer == "mvdr" and steer == "power":
+        wt = mvdr_power_pallas(rs, rn, power_iters=power_iters,
+                               interpret=interpret)          # (B, 257, N)
+    else:
+        # the other weight solves run in XLA on the small (B, F, N, N)
+        # covariances — bin order is irrelevant to the per-bin math
+        from setk_tpu.enhance import beamformer as bf
+        if beamformer in ("mpdr", "mpdr-whiten"):
+            # Ry = unmasked covariance: the Rs/Rn numerators already sum
+            # to sum_t y y^H over the valid frames (m + (1 - m) = 1)
+            ry = jnp.moveaxis(
+                ((rs_re + rn_re) + 1j * (rs_im + rn_im))[..., :f],
+                -1, 1) / t
+            wt = bf.mpdr_weights(
+                rs, ry, rn=rn if beamformer == "mpdr-whiten" else None)
+        elif beamformer == "mvdr":
+            wt = bf.mvdr_weights(rs, rn, steer=steer, use_pallas=False)
+        elif beamformer == "gevd":
+            # lane-batched power iteration on Rn^{-1} Rs — XLA's
+            # whitened eigh measured ~44 ms of a 55 ms step here
+            from setk_tpu.ops.pallas.mvdr import gevd_power_pallas
+            wt = gevd_power_pallas(rs, rn, power_iters=30,
+                                   interpret=interpret)
+        elif beamformer in ("pmwf-0", "pmwf-1"):
+            from setk_tpu.ops.pallas.mvdr import pmwf_solve_pallas
+            wm = pmwf_solve_pallas(
+                rs, rn, beta=0.0 if beamformer == "pmwf-0" else 1.0,
+                interpret=interpret)
+            wt = bf.pmwf_select_ref(wm, rs, rn)
+        else:
+            raise ValueError(f"Unsupported fused beamformer: {beamformer}")
+    if ban:
+        from setk_tpu.enhance.beamformer import do_ban
+        wt = do_ban(wt, rn)
 
     wr = jnp.transpose(jnp.real(wt[:, :fh]), (0, 2, 1))      # (B, N, 256)
     wi = jnp.transpose(jnp.imag(wt[:, :fh]), (0, 2, 1))

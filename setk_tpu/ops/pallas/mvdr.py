@@ -35,7 +35,8 @@ import numpy as np
 
 from setk_tpu.utils.common import EPSILON
 
-__all__ = ["mvdr_power_pallas"]
+__all__ = ["mvdr_power_pallas", "gevd_power_pallas",
+           "pmwf_solve_pallas"]
 
 _ROWS = 8  # sublanes per bin tile; lane count is the fixed 128
 
@@ -50,67 +51,33 @@ def _cmul_conj(ar, ai, br, bi):
     return ar * br + ai * bi, ai * br - ar * bi
 
 
-def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
-                 rn_im_ref, w_re_ref, w_im_ref):
-    def entry(ref_re, ref_im, i, j):
-        return ref_re[i * n + j, 0], ref_im[i * n + j, 0]
-
-    def herm(ref_re, ref_im):
-        """0.5 (R + R^H) as planar n x n lists of (rows, 128) tiles."""
-        h_re = [[None] * n for _ in range(n)]
-        h_im = [[None] * n for _ in range(n)]
-        for i in range(n):
-            for j in range(i, n):
-                a_re, a_im = entry(ref_re, ref_im, i, j)
-                b_re, b_im = entry(ref_re, ref_im, j, i)
-                h_re[i][j] = 0.5 * (a_re + b_re)
-                h_im[i][j] = 0.5 * (a_im - b_im)
-                if j != i:
-                    h_re[j][i] = h_re[i][j]
-                    h_im[j][i] = -h_im[i][j]
-        return h_re, h_im
-
-    # ---- 1. steer vector: power iteration on hermitianized Rs ----
-    s_re, s_im = herm(rs_re_ref, rs_im_ref)
-    shape = s_re[0][0].shape
-    # ramp init de-symmetrizes (matches ops.linalg.power_iteration)
-    v_re = [jnp.full(shape, (k + 1.0) / n, jnp.float32) for k in range(n)]
-    v_im = [jnp.zeros(shape, jnp.float32) for _ in range(n)]
-    for _ in range(power_iters):
-        u_re, u_im = [], []
-        for i in range(n):
-            acc_re = jnp.zeros(shape, jnp.float32)
-            acc_im = jnp.zeros(shape, jnp.float32)
-            for j in range(n):
-                p_re, p_im = _cmul(s_re[i][j], s_im[i][j], v_re[j], v_im[j])
-                acc_re += p_re
-                acc_im += p_im
-            u_re.append(acc_re)
-            u_im.append(acc_im)
-        nrm2 = sum(u_re[i] * u_re[i] + u_im[i] * u_im[i] for i in range(n))
-        inv = jax.lax.rsqrt(jnp.maximum(nrm2, EPSILON * EPSILON))
-        v_re = [u * inv for u in u_re]
-        v_im = [u * inv for u in u_im]
-
-    # ---- 2. phase anchor to channel 0 (fix_steer_phase) ----
-    mag = jnp.sqrt(v_re[0] * v_re[0] + v_im[0] * v_im[0])
-    inv_mag = 1.0 / jnp.maximum(mag, EPSILON)
-    p_re = v_re[0] * inv_mag
-    p_im = -v_im[0] * inv_mag  # conj(phase)
-    d_re, d_im = [], []
+def _load_herm(ref_re, ref_im, n):
+    """0.5 (R + R^H) from an entry-major ref, as planar n x n lists of
+    (rows, 128) tiles."""
+    h_re = [[None] * n for _ in range(n)]
+    h_im = [[None] * n for _ in range(n)]
     for i in range(n):
-        dr, di = _cmul(v_re[i], v_im[i], p_re, p_im)
-        d_re.append(dr)
-        d_im.append(di)
+        for j in range(i, n):
+            a_re, a_im = ref_re[i * n + j, 0], ref_im[i * n + j, 0]
+            b_re, b_im = ref_re[j * n + i, 0], ref_im[j * n + i, 0]
+            h_re[i][j] = 0.5 * (a_re + b_re)
+            h_im[i][j] = 0.5 * (a_im - b_im)
+            if j != i:
+                h_re[j][i] = h_re[i][j]
+                h_im[j][i] = -h_im[i][j]
+    return h_re, h_im
 
-    # ---- 3. Rn hermitianize + scale-invariant diagonal loading ----
-    a_re, a_im = herm(rn_re_ref, rn_im_ref)
+
+def _load_diag(a_re, n, eps_rel):
+    """Scale-invariant diagonal loading, in place."""
     tr = sum(a_re[i][i] for i in range(n)) * (1.0 / n)
     load = eps_rel * tr + EPSILON
     for i in range(n):
         a_re[i][i] = a_re[i][i] + load
 
-    # ---- 4. unrolled complex Cholesky; solve Rn x = d ----
+
+def _cholesky(a_re, a_im, n):
+    """Unrolled complex Cholesky of a loaded Hermitian tile matrix."""
     l_re = [[None] * n for _ in range(n)]
     l_im = [[None] * n for _ in range(n)]
     inv_diag = [None] * n
@@ -128,27 +95,85 @@ def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
                 s_i = s_i - p_i
             l_re[i][j] = s_r * inv_diag[j]
             l_im[i][j] = s_i * inv_diag[j]
-    # forward: L y = d
+    return l_re, l_im, inv_diag
+
+
+def _chol_solve(l_re, l_im, inv_diag, b_re, b_im, n):
+    """Solve L L^H x = b (planar tile vectors)."""
     y_re, y_im = [None] * n, [None] * n
     for i in range(n):
-        s_r, s_i = d_re[i], d_im[i]
+        s_r, s_i = b_re[i], b_im[i]
         for q in range(i):
             p_r, p_i = _cmul(l_re[i][q], l_im[i][q], y_re[q], y_im[q])
             s_r = s_r - p_r
             s_i = s_i - p_i
         y_re[i] = s_r * inv_diag[i]
         y_im[i] = s_i * inv_diag[i]
-    # backward: L^H x = y
     x_re, x_im = [None] * n, [None] * n
     for i in reversed(range(n)):
         s_r, s_i = y_re[i], y_im[i]
         for q in range(i + 1, n):
-            # conj(L[q][i]) * x[q]
             p_r, p_i = _cmul(l_re[q][i], -l_im[q][i], x_re[q], x_im[q])
             s_r = s_r - p_r
             s_i = s_i - p_i
         x_re[i] = s_r * inv_diag[i]
         x_im[i] = s_i * inv_diag[i]
+    return x_re, x_im
+
+
+def _matvec(m_re, m_im, v_re, v_im, n, shape):
+    u_re, u_im = [], []
+    for i in range(n):
+        acc_re = jnp.zeros(shape, jnp.float32)
+        acc_im = jnp.zeros(shape, jnp.float32)
+        for j in range(n):
+            p_re, p_im = _cmul(m_re[i][j], m_im[i][j], v_re[j], v_im[j])
+            acc_re += p_re
+            acc_im += p_im
+        u_re.append(acc_re)
+        u_im.append(acc_im)
+    return u_re, u_im
+
+
+def _anchor_phase(v_re, v_im, n, shape):
+    """Rotate so channel 0 is real-positive (fix_steer_phase)."""
+    mag = jnp.sqrt(v_re[0] * v_re[0] + v_im[0] * v_im[0])
+    inv_mag = 1.0 / jnp.maximum(mag, EPSILON)
+    p_re = v_re[0] * inv_mag
+    p_im = -v_im[0] * inv_mag  # conj(phase)
+    d_re, d_im = [], []
+    for i in range(n):
+        dr, di = _cmul(v_re[i], v_im[i], p_re, p_im)
+        d_re.append(dr)
+        d_im.append(di)
+    return d_re, d_im
+
+
+def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
+                 rn_im_ref, w_re_ref, w_im_ref):
+    # ---- 1. steer vector: power iteration on hermitianized Rs ----
+    s_re, s_im = _load_herm(rs_re_ref, rs_im_ref, n)
+    shape = s_re[0][0].shape
+    # ramp init de-symmetrizes (matches ops.linalg.power_iteration)
+    v_re = [jnp.full(shape, (k + 1.0) / n, jnp.float32) for k in range(n)]
+    v_im = [jnp.zeros(shape, jnp.float32) for _ in range(n)]
+    for _ in range(power_iters):
+        u_re, u_im = _matvec(s_re, s_im, v_re, v_im, n, shape)
+        nrm2 = sum(u_re[i] * u_re[i] + u_im[i] * u_im[i] for i in range(n))
+        inv = jax.lax.rsqrt(jnp.maximum(nrm2, EPSILON * EPSILON))
+        v_re = [u * inv for u in u_re]
+        v_im = [u * inv for u in u_im]
+
+    # ---- 2. phase anchor to channel 0 (fix_steer_phase) ----
+    d_re, d_im = _anchor_phase(v_re, v_im, n, shape)
+
+    # ---- 3. Rn hermitianize + scale-invariant diagonal loading ----
+    a_re, a_im = _load_herm(rn_re_ref, rn_im_ref, n)
+    _load_diag(a_re, n, eps_rel)
+
+    # ---- 4. unrolled complex Cholesky; solve Rn x = d ----
+    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
+    x_re, x_im = _chol_solve(l_re, l_im, inv_diag, d_re, d_im, n)
 
     # ---- 5. Capon normalize: w = x / (d^H x) ----
     den_re = jnp.zeros(shape, jnp.float32)
@@ -167,44 +192,99 @@ def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
         w_im_ref[i, 0] = w_i * inv_den
 
 
-@partial(jax.jit,
-         static_argnames=("power_iters", "eps_rel", "interpret"))
-def _mvdr_pallas_flat(rs_re, rs_im, rn_re, rn_im, power_iters, eps_rel,
-                      interpret):
-    """Entry-major planar solve: (N*N, NB, rows, 128) -> (N, NB, rows, 128)."""
+def _gevd_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
+                 rn_im_ref, w_re_ref, w_im_ref):
+    """Principal generalized eigenvector of (Rs, Rn) per lane-bin.
+
+    Power iteration on Rn^{-1} Rs (each step: Rs matvec + Cholesky
+    solve); output normalized to v^H Rn v = 1 (scipy's generalized-eigh
+    convention, matching ops.linalg.solve_pevd up to per-bin phase) and
+    phase-anchored to channel 0 (eigenvector phase is solver-arbitrary;
+    the anchor makes it deterministic)."""
+    s_re, s_im = _load_herm(rs_re_ref, rs_im_ref, n)
+    shape = s_re[0][0].shape
+    a_re, a_im = _load_herm(rn_re_ref, rn_im_ref, n)
+    _load_diag(a_re, n, eps_rel)
+    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
+    v_re = [jnp.full(shape, (k + 1.0) / n, jnp.float32) for k in range(n)]
+    v_im = [jnp.zeros(shape, jnp.float32) for _ in range(n)]
+    for _ in range(power_iters):
+        u_re, u_im = _matvec(s_re, s_im, v_re, v_im, n, shape)
+        x_re, x_im = _chol_solve(l_re, l_im, inv_diag, u_re, u_im, n)
+        nrm2 = sum(x_re[i] * x_re[i] + x_im[i] * x_im[i] for i in range(n))
+        inv = jax.lax.rsqrt(jnp.maximum(nrm2, EPSILON * EPSILON))
+        v_re = [x * inv for x in x_re]
+        v_im = [x * inv for x in x_im]
+    # v^H Rn v = 1 normalization (real by symmetry)
+    av_re, av_im = _matvec(a_re, a_im, v_re, v_im, n, shape)
+    q = sum(v_re[i] * av_re[i] + v_im[i] * av_im[i] for i in range(n))
+    scale = jax.lax.rsqrt(jnp.maximum(q, EPSILON))
+    v_re = [v * scale for v in v_re]
+    v_im = [v * scale for v in v_im]
+    d_re, d_im = _anchor_phase(v_re, v_im, n, shape)
+    for i in range(n):
+        w_re_ref[i, 0] = d_re[i]
+        w_im_ref[i, 0] = d_im[i]
+
+
+def _pmwf_kernel(n, beta, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
+                 rn_im_ref, w_re_ref, w_im_ref):
+    """PMWF weight matrix per lane-bin: W = Rn^{-1} Rs / (beta + trace).
+
+    Emits the full (N, N) weight matrix (entry-major); the SNR-based
+    reference-channel selection happens in XLA on the small result
+    (enhance.beamformer.pmwf_weights semantics)."""
+    s_re, s_im = _load_herm(rs_re_ref, rs_im_ref, n)
+    a_re, a_im = _load_herm(rn_re_ref, rn_im_ref, n)
+    _load_diag(a_re, n, eps_rel)
+    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
+    x_re = [[None] * n for _ in range(n)]
+    x_im = [[None] * n for _ in range(n)]
+    for j in range(n):
+        col_re, col_im = _chol_solve(l_re, l_im, inv_diag,
+                                     [s_re[i][j] for i in range(n)],
+                                     [s_im[i][j] for i in range(n)], n)
+        for i in range(n):
+            x_re[i][j] = col_re[i]
+            x_im[i][j] = col_im[i]
+    tr_re = sum(x_re[i][i] for i in range(n)) + beta
+    tr_im = sum(x_im[i][i] for i in range(n))
+    inv_den = 1.0 / jnp.maximum(tr_re * tr_re + tr_im * tr_im,
+                                EPSILON * EPSILON)
+    for i in range(n):
+        for j in range(n):
+            w_r, w_i = _cmul_conj(x_re[i][j], x_im[i][j], tr_re, tr_im)
+            w_re_ref[i * n + j, 0] = w_r * inv_den
+            w_im_ref[i * n + j, 0] = w_i * inv_den
+
+
+def _weights_pallas_flat(kernel_fn, n_out, rs_re, rs_im, rn_re, rn_im,
+                         interpret):
+    """Entry-major planar solve: 4 x (N*N, NB, rows, 128) inputs ->
+    (n_out, NB, rows, 128) planar weight outputs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nn, nb, rows, lanes = rs_re.shape
-    n = int(np.sqrt(nn))
-    kernel = partial(_mvdr_kernel, n, power_iters, eps_rel)
     in_spec = pl.BlockSpec((nn, 1, rows, lanes), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((n, 1, rows, lanes), lambda i: (0, i, 0, 0),
+    out_spec = pl.BlockSpec((n_out, 1, rows, lanes), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kernel,
+        kernel_fn,
         grid=(nb,),
         in_specs=[in_spec] * 4,
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n, nb, rows, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((n, nb, rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, nb, rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, nb, rows, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(rs_re, rs_im, rn_re, rn_im)
 
 
-def mvdr_power_pallas(rs: jax.Array,
-                      rn: jax.Array,
-                      power_iters: int = 15,
-                      eps_rel: float = 1e-6,
-                      interpret: bool = False) -> jax.Array:
-    """Fused MVDR weights from (..., N, N) Rs/Rn covariances.
-
-    Drop-in for ``mvdr_weights(rs, rn, steer="power")`` (same math, same
-    iteration count); complex in/out, any leading batch shape, N <= 8.
-    """
-    n = rs.shape[-1]
+def _run_entry_major(kernel, n, n_out, rs, rn, interpret):
+    """Pack (..., N, N) complex pairs entry-major, run, unpack to
+    (..., n_out) complex."""
     lead = rs.shape[:-2]
     bf = int(np.prod(lead)) if lead else 1
     tile = _ROWS * 128
@@ -219,10 +299,60 @@ def mvdr_power_pallas(rs: jax.Array,
 
     args = []
     for mat in (rs, rn):
-        em_re = to_entry_major(jnp.real(mat).astype(jnp.float32))
-        em_im = to_entry_major(jnp.imag(mat).astype(jnp.float32))
-        args.extend([em_re, em_im])
-    w_re, w_im = _mvdr_pallas_flat(*args, power_iters=power_iters,
-                                   eps_rel=eps_rel, interpret=interpret)
-    w = (w_re + 1j * w_im).reshape(n, -1)[:, :bf]
-    return jnp.transpose(w, (1, 0)).reshape(*lead, n).astype(rs.dtype)
+        args.append(to_entry_major(jnp.real(mat).astype(jnp.float32)))
+        args.append(to_entry_major(jnp.imag(mat).astype(jnp.float32)))
+    w_re, w_im = _weights_pallas_flat(kernel, n_out, *args,
+                                      interpret=interpret)
+    w = (w_re + 1j * w_im).reshape(n_out, -1)[:, :bf]
+    return jnp.transpose(w, (1, 0)).reshape(*lead, n_out).astype(rs.dtype)
+
+
+@partial(jax.jit, static_argnames=("power_iters", "eps_rel", "interpret"))
+def mvdr_power_pallas(rs: jax.Array,
+                      rn: jax.Array,
+                      power_iters: int = 15,
+                      eps_rel: float = 1e-6,
+                      interpret: bool = False) -> jax.Array:
+    """Fused MVDR weights from (..., N, N) Rs/Rn covariances.
+
+    Drop-in for ``mvdr_weights(rs, rn, steer="power")`` (same math, same
+    iteration count); complex in/out, any leading batch shape, N <= 8.
+    """
+    n = rs.shape[-1]
+    kernel = partial(_mvdr_kernel, n, power_iters, eps_rel)
+    return _run_entry_major(kernel, n, n, rs, rn, interpret)
+
+
+@partial(jax.jit, static_argnames=("power_iters", "eps_rel", "interpret"))
+def gevd_power_pallas(rs: jax.Array,
+                      rn: jax.Array,
+                      power_iters: int = 15,
+                      eps_rel: float = 1e-6,
+                      interpret: bool = False) -> jax.Array:
+    """GEV/max-SNR weights: principal generalized eigenvector of
+    (Rs, Rn) per bin via power iteration on Rn^{-1} Rs.
+
+    Matches ``ops.linalg.solve_pevd(rs, rn)`` up to per-bin phase
+    (eigenvector phase is solver-arbitrary; this kernel anchors channel
+    0 real-positive) with the same v^H Rn v = 1 normalization.
+    """
+    n = rs.shape[-1]
+    kernel = partial(_gevd_kernel, n, power_iters, eps_rel)
+    return _run_entry_major(kernel, n, n, rs, rn, interpret)
+
+
+@partial(jax.jit, static_argnames=("beta", "eps_rel", "interpret"))
+def pmwf_solve_pallas(rs: jax.Array,
+                      rn: jax.Array,
+                      beta: float = 0.0,
+                      eps_rel: float = 1e-6,
+                      interpret: bool = False) -> jax.Array:
+    """PMWF weight matrix W = Rn^{-1} Rs / (beta + trace) per bin.
+
+    Returns (..., N, N); reference-channel selection stays in XLA
+    (enhance.beamformer.pmwf_weights).
+    """
+    n = rs.shape[-1]
+    kernel = partial(_pmwf_kernel, n, beta, eps_rel)
+    out = _run_entry_major(kernel, n, n * n, rs, rn, interpret)
+    return out.reshape(*rs.shape[:-2], n, n)

@@ -46,18 +46,24 @@ def enhance_batch(wav: jax.Array,
     from setk_tpu.utils.hostdev import tpu_target
     on_tpu = tpu_target()
     steer_r = ("power" if on_tpu else "eigh") if steer == "auto" else steer
-    if beamformer == "mvdr" and not ban and steer_r == "power" and on_tpu:
-        from setk_tpu.enhance.pipeline import (fused_supported,
-                                               mvdr_enhance_fused,
+    if on_tpu:
+        from setk_tpu.enhance.pipeline import (FUSED_BEAMFORMERS,
+                                               enhance_fused,
+                                               fused_supported,
                                                mvdr_enhance_planar,
                                                planar_supported)
         out_samps = nsamps if nsamps is not None else wav.shape[-1]
-        if fused_supported(cfg, wav.shape[-2], wav.shape[-1], out_samps):
-            # int16 wav goes straight in (converted in VMEM)
-            return mvdr_enhance_fused(wav, mask_s, cfg, nsamps=nsamps)
+        if (beamformer in FUSED_BEAMFORMERS and fused_supported(
+                cfg, wav.shape[-2], wav.shape[-1], out_samps)):
+            # int16 wav goes straight in (converted in VMEM); the
+            # kernels are weight-agnostic, so every supervised
+            # beamformer family rides them
+            return enhance_fused(wav, mask_s, cfg, beamformer=beamformer,
+                                 ban=ban, steer=steer_r, nsamps=nsamps)
         if wav.dtype == jnp.int16:
             wav = wav.astype(jnp.float32) / 32768.0
-        if planar_supported(cfg, wav.shape[-2]):
+        if (beamformer == "mvdr" and not ban and steer_r == "power"
+                and planar_supported(cfg, wav.shape[-2])):
             return mvdr_enhance_planar(wav, mask_s, cfg, nsamps=nsamps)
     if wav.dtype == jnp.int16:
         wav = wav.astype(jnp.float32) / 32768.0
