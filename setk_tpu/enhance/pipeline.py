@@ -149,8 +149,24 @@ def enhance_fused(wav: jax.Array,
             ry = jnp.moveaxis(
                 ((rs_re + rn_re) + 1j * (rs_im + rn_im))[..., :f],
                 -1, 1) / t
-            wt = bf.mpdr_weights(
-                rs, ry, rn=rn if beamformer == "mpdr-whiten" else None)
+            if beamformer == "mpdr":
+                # steer from Rs + Capon on Ry == the MVDR kernel with
+                # Ry in the solve slot (power-iteration steer, the TPU
+                # default convention as for mvdr)
+                from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas \
+                    as _mpk
+                wt = _mpk(rs, ry, power_iters=power_iters,
+                          interpret=interpret)
+            else:
+                # whitened steer: Rn x principal GEV vector (small XLA
+                # matvec), then a given-steer Capon solve on Ry
+                from setk_tpu.ops.pallas.mvdr import (capon_pallas,
+                                                      gevd_power_pallas)
+                gv = gevd_power_pallas(rs, rn, power_iters=50,
+                                       interpret=interpret)
+                steer_v = bf.fix_steer_phase(
+                    jnp.einsum("...ab,...b->...a", rn, gv))
+                wt = capon_pallas(steer_v, ry, interpret=interpret)
         elif beamformer == "mvdr":
             wt = bf.mvdr_weights(rs, rn, steer=steer, use_pallas=False)
         elif beamformer == "gevd":

@@ -36,7 +36,7 @@ import numpy as np
 from setk_tpu.utils.common import EPSILON
 
 __all__ = ["mvdr_power_pallas", "gevd_power_pallas",
-           "pmwf_solve_pallas"]
+           "pmwf_solve_pallas", "capon_pallas"]
 
 _ROWS = 8  # sublanes per bin tile; lane count is the fixed 128
 
@@ -227,6 +227,33 @@ def _gevd_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
         w_im_ref[i, 0] = d_im[i]
 
 
+def _capon_kernel(n, eps_rel, d_re_ref, d_im_ref, r_re_ref, r_im_ref,
+                  w_re_ref, w_im_ref):
+    """Capon weights for a GIVEN steer vector: w = R^{-1}d / (d^H R^{-1}d).
+
+    The mpdr-whiten path computes its steer (Rn x GEV vector) in XLA and
+    solves against Ry here."""
+    d_re = [d_re_ref[i, 0] for i in range(n)]
+    d_im = [d_im_ref[i, 0] for i in range(n)]
+    shape = d_re[0].shape
+    a_re, a_im = _load_herm(r_re_ref, r_im_ref, n)
+    _load_diag(a_re, n, eps_rel)
+    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
+    x_re, x_im = _chol_solve(l_re, l_im, inv_diag, d_re, d_im, n)
+    den_re = jnp.zeros(shape, jnp.float32)
+    den_im = jnp.zeros(shape, jnp.float32)
+    for i in range(n):
+        p_r, p_i = _cmul(d_re[i], -d_im[i], x_re[i], x_im[i])
+        den_re += p_r
+        den_im += p_i
+    inv_den = 1.0 / jnp.maximum(den_re * den_re + den_im * den_im,
+                                EPSILON * EPSILON)
+    for i in range(n):
+        w_r, w_i = _cmul_conj(x_re[i], x_im[i], den_re, den_im)
+        w_re_ref[i, 0] = w_r * inv_den
+        w_im_ref[i, 0] = w_i * inv_den
+
+
 def _pmwf_kernel(n, beta, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
                  rn_im_ref, w_re_ref, w_im_ref):
     """PMWF weight matrix per lane-bin: W = Rn^{-1} Rs / (beta + trace).
@@ -356,3 +383,51 @@ def pmwf_solve_pallas(rs: jax.Array,
     kernel = partial(_pmwf_kernel, n, beta, eps_rel)
     out = _run_entry_major(kernel, n, n * n, rs, rn, interpret)
     return out.reshape(*rs.shape[:-2], n, n)
+
+
+@partial(jax.jit, static_argnames=("eps_rel", "interpret"))
+def capon_pallas(steer: jax.Array,
+                 r: jax.Array,
+                 eps_rel: float = 1e-6,
+                 interpret: bool = False) -> jax.Array:
+    """Capon/MPDR weights for a given steer: w = R^{-1}d / (d^H R^{-1}d),
+    lane-batched over bins.  steer (..., N) complex, r (..., N, N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    n = r.shape[-1]
+    lead = r.shape[:-2]
+    bf = int(np.prod(lead)) if lead else 1
+    tile = _ROWS * 128
+
+    def pack(mat, width):
+        flat = mat.reshape(bf, width)
+        em = jnp.transpose(flat, (1, 0))
+        pad = (-bf) % tile
+        if pad:
+            em = jnp.pad(em, ((0, 0), (0, pad)))
+        return em.reshape(width, -1, _ROWS, 128)
+
+    args = [pack(jnp.real(steer).astype(jnp.float32), n),
+            pack(jnp.imag(steer).astype(jnp.float32), n),
+            pack(jnp.real(r).astype(jnp.float32), n * n),
+            pack(jnp.imag(r).astype(jnp.float32), n * n)]
+    nn, nb, rows, lanes = args[2].shape
+    d_spec = pl.BlockSpec((n, 1, rows, lanes), lambda i: (0, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((nn, 1, rows, lanes), lambda i: (0, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n, 1, rows, lanes), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_re, w_im = pl.pallas_call(
+        partial(_capon_kernel, n, eps_rel),
+        grid=(nb,),
+        in_specs=[d_spec, d_spec, r_spec, r_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, nb, rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n, nb, rows, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    w = (w_re + 1j * w_im).reshape(n, -1)[:, :bf]
+    return jnp.transpose(w, (1, 0)).reshape(*lead, n).astype(r.dtype)
