@@ -45,6 +45,23 @@ def main():
 
     timed_scan("MVDR B=32 x 4 s", mvdr_body, mask, B * 4)
 
+    # --- beamformer family at the headline shape (B=128 x 8 s) ---
+    BF, SF = 128, 8 * SR
+    wavf = jax.device_put(
+        (rng.standard_normal((BF, 6, SF)) * 3000).astype(np.int16))
+    maskf = jax.device_put(
+        rng.random((BF, cfg.num_frames(SF), cfg.num_bins)).astype(
+            np.float32))
+    for name, kw in (("gevd", {}), ("mpdr", {}), ("mpdr-whiten", {}),
+                     ("pmwf-0", {}), ("mvdr+ban", {"ban": True})):
+        bf_name = "mvdr" if name == "mvdr+ban" else name
+
+        def fam_body(m, _bf=bf_name, _kw=dict(kw)):
+            out = enhance_batch(wavf, m, cfg, beamformer=_bf, **_kw)
+            return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9
+
+        timed_scan(f"{name} B=128 x 8 s", fam_body, maskf, BF * 8)
+
     # --- CACGMM, 20 EM iterations (B=8 x 4 s) ---
     BE, SE = 8, 4 * SR
     we = (rng.standard_normal((BE, 6, SE)) * 0.2).astype(np.float32)
