@@ -1,28 +1,22 @@
-"""Fully-fused single-chip MVDR enhancement pipeline (the TPU fast path).
+"""Single-chip fused beamforming pipelines (the TPU fast paths).
 
-Chains the three Pallas kernels with a layout contract that keeps every
-large intermediate in its producer's native planar form:
+``enhance_fused`` is the default: the zero-spectrum-materialization
+kernel pair (ops/pallas/fused_mvdr.py — stft+covariance in, weights
+through a lane-batched per-bin solve, beamform+iSTFT out with the DFT
+recomputed in VMEM) serves the whole supervised beamformer family
+(mvdr / gevd / pmwf / mpdr variants, with or without BAN), since the
+kernels are weight-agnostic.  See doc/KERNELS.md for the design and
+the measured evolution.
 
-    wav (B, N, S)
-      -> forward_stft_pallas_planar      re/im (B, N, T_pad, F_HALF)
-                                         + nyq (B, N, T_pad)
-      -> pair_covar_complement_pallas    Rs/Rn numerators (B, N, N, F_HALF)
-      -> mvdr_power_pallas               weights (B, F, N)
-      -> planar beamform (XLA VPU)       enh (B, T, F) complex (small)
-      -> inverse_stft                    (B, S)
+``mvdr_enhance_planar`` is the fallback for STFT geometries the fused
+kernels don't cover (n_fft != 512, non-hop-aligned lengths): it chains
+the planar STFT, pair-covariance and MVDR-solve kernels with spectra
+materialized in HBM — correct everywhere planar kernels apply, ~2x
+slower at the bench shape (DMA-bound on the spectrum round trip).
 
-Between STFT and covariance nothing repacks, interleaves, pads or
-transposes — the covariance kernel's block layout IS the STFT kernel's
-output layout, at F_HALF = n_fft/2 EXACT 128-lane tiles (no 257 -> 384
-lane padding; the real-valued Nyquist bin rides a tiny side plane and a
-cheap XLA covariance, then rejoins the batched weight solve).  On the
-~200 GB/s practical HBM bandwidth of the attached chip this byte count
-is what the stage budget is made of.
-
-Semantics match enhance_batch(beamformer="mvdr",
-steer="power") == supervised_run + mvdr_weights(steer="power"):
-reference call stack apply_adaptive_beamformer.py:74-180 ->
-libs/beamformer.py:270-283,515-539 (mask_n = 1 - mask_s, no BAN).
+Semantics: reference call stack apply_adaptive_beamformer.py:74-180 ->
+libs/beamformer.py:270-283 + each method's weight function
+(mask_n = 1 - mask_s).
 """
 
 import jax
