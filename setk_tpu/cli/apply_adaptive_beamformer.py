@@ -72,7 +72,8 @@ def _run_batched(args):
             mesh = make_mesh(n, axis_sizes=(n, 1, 1))
     enhancer = BatchEnhancer(cfg, beamformer=args.beamformer,
                              batch_size=args.batch_size, mesh=mesh,
-                             ban=bool(args.ban))
+                             ban=bool(args.ban),
+                             chunk_size=args.chunk_size, alpha=args.alpha)
     num_done = 0
     meter = ThroughputMeter("adaptive-beamformer[batched]", report_every=64)
     with WaveWriter(args.dst_dir, sr=args.sr) as writer:
@@ -119,11 +120,10 @@ def run(args):
 
 def _run(args):
     if args.batch_size > 1:
-        if args.chunk_size > 0 or args.itf_mask or \
-                0.5 < args.vad_proportion < 1 or args.mask:
+        if args.itf_mask or 0.5 < args.vad_proportion < 1 or args.mask:
             raise RuntimeError(
-                "--batch-size > 1 supports the plain offline path "
-                "(no online/interference/VAD/post-mask options)")
+                "--batch-size > 1 supports the offline and online "
+                "paths (no interference/VAD/post-mask options)")
         _run_batched(args)
         return
     cfg = stft_config_from_args(args)

@@ -33,9 +33,16 @@ def enhance_batch(wav: jax.Array,
                   beamformer: str = "mvdr",
                   ban: bool = False,
                   nsamps: int | None = None,
-                  steer: str = "auto") -> jax.Array:
+                  steer: str = "auto",
+                  chunk_size: int = -1,
+                  alpha: float = 0.8) -> jax.Array:
     """Batched mask-based beamforming: (B, N, S) wav + (B, T, F) mask ->
     (B, S) enhanced wav.  Jit this whole function.
+
+    ``chunk_size > 0`` runs the chunked ONLINE variant (EMA covariance
+    state carried over chunks — the reference's do_online_beamform /
+    --update-periods semantics) batched over utterances: the scan body
+    processes every utterance's chunk k in one step.
 
     ``steer="auto"`` resolves the MVDR steer-vector method per target:
     fixed-count power iteration on TPU (where the mvdr config further
@@ -46,6 +53,23 @@ def enhance_batch(wav: jax.Array,
     from setk_tpu.utils.hostdev import tpu_target
     on_tpu = tpu_target()
     steer_r = ("power" if on_tpu else "eigh") if steer == "auto" else steer
+    if chunk_size > 0:
+        if wav.dtype == jnp.int16:
+            wav = wav.astype(jnp.float32) / 32768.0
+        spec = forward_stft(wav, cfg)                 # (B, N, T, F)
+        obs = jnp.transpose(spec, (0, 3, 1, 2))       # (B, F, N, T)
+        mask = jnp.transpose(mask_s, (0, 2, 1))       # (B, F, T)
+        t = obs.shape[-1]
+        pad = (-t) % chunk_size
+        if pad:
+            obs = jnp.pad(obs, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad)))
+        enh = bf.online_supervised_run(beamformer, obs, mask,
+                                       chunk_size=chunk_size, alpha=alpha,
+                                       ban=ban)[..., :t]
+        return inverse_stft(jnp.swapaxes(enh, -1, -2), cfg,
+                            nsamps=nsamps if nsamps is not None
+                            else wav.shape[-1])
     if on_tpu:
         from setk_tpu.enhance.pipeline import (FUSED_BEAMFORMERS,
                                                enhance_fused,

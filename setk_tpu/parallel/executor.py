@@ -68,12 +68,16 @@ class BatchEnhancer:
                  batch_size: int = 8,
                  mesh=None,
                  ban: bool = False,
-                 samples_per_bucket: int = 16384):
+                 samples_per_bucket: int = 16384,
+                 chunk_size: int = -1,
+                 alpha: float = 0.8):
         self.cfg = cfg
         self.beamformer = beamformer
         self.batch_size = batch_size
         self.mesh = mesh
         self.ban = ban
+        self.chunk_size = chunk_size
+        self.alpha = alpha
         self.bucketer = LengthBucketer(cfg, samples_per_bucket)
         self._pending = defaultdict(list)
 
@@ -85,7 +89,8 @@ class BatchEnhancer:
         def fn(wav, mask):
             return enhance_batch(wav, mask, self.cfg,
                                  beamformer=self.beamformer, ban=self.ban,
-                                 nsamps=nsamps)
+                                 nsamps=nsamps, chunk_size=self.chunk_size,
+                                 alpha=self.alpha)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -136,3 +136,44 @@ def test_batch_enhancer_int16(rng):
     for o in outs.values():
         assert o.dtype == np.float32 and np.isfinite(o).all()
         assert np.abs(o).max() < 10.0  # normalized scale out
+
+
+def test_batch_enhancer_online_chunked(rng):
+    """Batched online (EMA-chunked) beamforming equals the
+    single-utterance online path on the same padded shapes."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp import StftConfig, forward_stft, inverse_stft
+    from setk_tpu.enhance import beamformer as bf
+    from setk_tpu.parallel.executor import BatchEnhancer
+    cfg = StftConfig()
+    n, s = 3, 16384
+    chunk = 16
+    ex = BatchEnhancer(cfg, batch_size=2, samples_per_bucket=16384,
+                       chunk_size=chunk, alpha=0.7)
+    wavs = {k: (rng.standard_normal((n, s)) * 0.2).astype(np.float32)
+            for k in ("a", "b")}
+    t = cfg.num_frames(s)
+    masks = {k: rng.random((t, cfg.num_bins)).astype(np.float32)
+             for k in wavs}
+    got = {}
+    for k in wavs:
+        for dk, out in ex.add(k, wavs[k], masks[k]):
+            got[dk] = out
+    for dk, out in ex.flush():
+        got[dk] = out
+    assert set(got) == set(wavs)
+    for k, w in wavs.items():
+        spec = forward_stft(jnp.asarray(w), cfg)          # (N, T, F)
+        obs = jnp.transpose(spec, (2, 0, 1))              # (F, N, T)
+        mk = jnp.asarray(masks[k]).T                      # (F, T)
+        tf = obs.shape[-1]
+        pad = (-tf) % chunk
+        if pad:
+            obs = jnp.pad(obs, ((0, 0), (0, 0), (0, pad)))
+            mk = jnp.pad(mk, ((0, 0), (0, pad)))
+        enh = bf.online_supervised_run("mvdr", obs, mk, chunk_size=chunk,
+                                       alpha=0.7)[..., :tf]
+        ref = np.asarray(inverse_stft(jnp.swapaxes(enh, -1, -2), cfg,
+                                      nsamps=s))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got[k], ref, atol=1e-4 * scale)
