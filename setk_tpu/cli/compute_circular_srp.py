@@ -10,7 +10,8 @@ import numpy as np
 
 from setk_tpu.cli.common import StftParser, stft_config_from_args
 from setk_tpu.io import SpectrogramReader, ArchiveWriter
-from setk_tpu.spatial.features import gcc_phat_diag
+from setk_tpu.spatial.features import (gcc_phat_diag,
+                                       smooth_angular_spectrogram)
 from setk_tpu.utils import get_logger
 
 logger = get_logger(__name__)
@@ -34,6 +35,9 @@ def _run(args):
                 for (i, j) in srp_pair
             ]
             srp = np.mean(np.stack(srp), axis=0)
+            if args.smooth_context > 0:
+                srp = np.asarray(
+                    smooth_angular_spectrogram(srp, args.smooth_context))
             if np.sum(np.isnan(srp)):
                 raise RuntimeError(f"Matrix {key} has NaN items")
             writer.write(key, srp.astype(np.float32))
@@ -66,6 +70,11 @@ def make_parser():
                         help="Diameter of the circular array")
     parser.add_argument("--num-doas", type=int, default=121)
     parser.add_argument("--sr", type=int, default=16000)
+    parser.add_argument("--smooth-context", dest="smooth_context",
+                        type=int, default=0,
+                        help="Temporal context for angular-spectrogram "
+                        "averaging (0 disables; "
+                        "reference include/srp-phat.cc Smooth)")
     return parser
 
 

@@ -10,7 +10,8 @@ import numpy as np
 
 from setk_tpu.cli.common import StftParser, stft_config_from_args, strtobool
 from setk_tpu.io import SpectrogramReader, ArchiveWriter
-from setk_tpu.spatial.features import srp_phat_linear, ipd, msc
+from setk_tpu.spatial.features import (srp_phat_linear, ipd, msc,
+                                       smooth_angular_spectrogram)
 from setk_tpu.utils import get_logger
 
 logger = get_logger(__name__)
@@ -19,12 +20,13 @@ logger = get_logger(__name__)
 def compute_spatial_feats(args, cfg, spectra):
     if args.type == "srp":
         topo = [float(t) for t in args.linear_topo.split(",")]
+        srp = srp_phat_linear(spectra, topo,
+                              sample_frequency=args.samp_frequency,
+                              num_doa=args.num_doa,
+                              num_bins=cfg.num_bins,
+                              samp_doa=not args.samp_tdoa)
         return np.asarray(
-            srp_phat_linear(spectra, topo,
-                            sample_frequency=args.samp_frequency,
-                            num_doa=args.num_doa,
-                            num_bins=cfg.num_bins,
-                            samp_doa=not args.samp_tdoa))
+            smooth_angular_spectrogram(srp, args.smooth_context))
     if args.type == "ipd":
         if spectra.ndim < 3:
             raise ValueError("IPD needs multi-channel STFT")
@@ -77,6 +79,11 @@ def make_parser():
                         type=strtobool, default=False)
     parser.add_argument("--srp.samp-frequency", dest="samp_frequency",
                         type=int, default=16000)
+    parser.add_argument("--srp.smooth-context", "--smooth-context",
+                        dest="smooth_context", type=int, default=0,
+                        help="Temporal context for angular-spectrogram "
+                        "averaging (0 disables; "
+                        "reference include/srp-phat.cc Smooth)")
     parser.add_argument("--ipd.pair", dest="ipd_pair", default="0,1",
                         help="Mic pairs, e.g. '0,1;1,2'")
     parser.add_argument("--ipd.cos", dest="ipd_cos", type=strtobool,

@@ -43,7 +43,12 @@ def run(args):
 
 def make_parser():
     parser = argparse.ArgumentParser(
-        description="Remove silence from utterances (energy VAD)",
+        description="Remove silence from utterances (energy VAD). "
+        "DEVIATION from the reference: decisions come from an "
+        "adaptive-energy detector, not py-webrtcvad's GMM (library "
+        "unavailable); the hangover state machine and segment output "
+        "are identical. Tune --threshold-db where webrtcvad used "
+        "--mode. See doc/MIGRATING.md.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("wav_scp", help="Input wave scripts")
     parser.add_argument("dst_dir", help="Output directory")

@@ -135,6 +135,47 @@ def _read_compressed(fd, token):
     raise RuntimeError(f"Unknown compressed matrix type: {token}")
 
 
+def _read_sparse_vec_body(fd):
+    """SparseVector body after its 'SV ' token: (dim, indices, values).
+
+    Layout (/root/reference/scripts/sptk/libs/kaldi_io.py:182-197):
+    dim + num_elems + num_elems x (int32 index, float32 value), every
+    scalar carrying its \\04 size byte.
+    """
+    dim = read_int32(fd)
+    num_elems = read_int32(fd)
+    raw = np.frombuffer(fd.read(10 * num_elems), dtype=np.uint8)
+    raw = raw.reshape(num_elems, 10)
+    idx = raw[:, 1:5].copy().view("<i4").reshape(num_elems)
+    val = raw[:, 6:10].copy().view("<f4").reshape(num_elems)
+    return dim, idx, val
+
+
+def _read_sparse_vec(fd):
+    token = read_token(fd)
+    if token != "SV":
+        raise RuntimeError(f"Expect sparse vector token 'SV', got {token}")
+    return _read_sparse_vec_body(fd)
+
+
+def _read_sparse_mat(fd):
+    """SparseMatrix body ('SM ' + rows + per-row SparseVectors),
+    densified to float32.
+
+    The reference returns the raw index/value pair lists
+    (/root/reference/scripts/sptk/libs/kaldi_io.py:232-243); here the
+    rows are scattered into a dense (rows, dim) float32 matrix so sparse
+    archives drop into the same downstream numpy pipelines as FM.
+    """
+    rows = read_int32(fd)
+    vecs = [_read_sparse_vec(fd) for _ in range(rows)]
+    dim = max((d for d, _, _ in vecs), default=0)
+    mat = np.zeros((rows, dim), dtype=np.float32)
+    for r, (_, idx, val) in enumerate(vecs):
+        mat[r, idx] = val
+    return mat
+
+
 def read_value(fd, direct_access=False):
     """Read one matrix/vector value (after the key + binary flag)."""
     if direct_access:
@@ -144,6 +185,13 @@ def read_value(fd, direct_access=False):
         return _read_dense(fd, token)
     if token in ("CM", "CM2", "CM3"):
         return _read_compressed(fd, token)
+    if token == "SM":
+        return _read_sparse_mat(fd)
+    if token == "SV":
+        dim, idx, val = _read_sparse_vec_body(fd)
+        vec = np.zeros(dim, dtype=np.float32)
+        vec[idx] = val
+        return vec
     raise RuntimeError(f"Unknown kaldi object type: {token}")
 
 

@@ -60,11 +60,18 @@ def enhance_batch(wav: jax.Array,
         obs = jnp.transpose(spec, (0, 3, 1, 2))       # (B, F, N, T)
         mask = jnp.transpose(mask_s, (0, 2, 1))       # (B, F, T)
         t = obs.shape[-1]
+        # explicit noise mask BEFORE padding: pad frames must carry
+        # mask_n = 0 (not 1 - 0 = 1) so they drop out of both
+        # covariance denominators — matching the reference's
+        # short-last-chunk handling
+        mask_n = 1.0 - mask
         pad = (-t) % chunk_size
         if pad:
             obs = jnp.pad(obs, ((0, 0), (0, 0), (0, 0), (0, pad)))
             mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad)))
+            mask_n = jnp.pad(mask_n, ((0, 0), (0, 0), (0, pad)))
         enh = bf.online_supervised_run(beamformer, obs, mask,
+                                       mask_n=mask_n,
                                        chunk_size=chunk_size, alpha=alpha,
                                        ban=ban)[..., :t]
         return inverse_stft(jnp.swapaxes(enh, -1, -2), cfg,

@@ -141,7 +141,13 @@ class BatchEnhancer:
         lengths = []
         for i, (key, wav, mask) in enumerate(items):
             s = wav.shape[-1]
-            wavs[i, :, :s] = wav
+            if wav_dt == np.float32 and wav.dtype == np.int16:
+                # mixed-dtype bucket: the batch went float32, so int16
+                # items must be rescaled here (enhance_batch only
+                # rescales when the whole batch array is int16)
+                wavs[i, :, :s] = wav.astype(np.float32) / 32768.0
+            else:
+                wavs[i, :, :s] = wav
             t = min(mask.shape[0], t_pad)
             masks[i, :t, :] = mask[:t]
             lengths.append((key, s))

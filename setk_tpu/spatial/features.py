@@ -13,8 +13,27 @@ from setk_tpu.utils.common import EPSILON
 
 __all__ = [
     "linear_tdoa_grid", "gcc_phat_linear", "gcc_phat_diag", "srp_phat_linear",
-    "msc", "ipd", "directional_feats"
+    "smooth_angular_spectrogram", "msc", "ipd", "directional_feats"
 ]
+
+
+def smooth_angular_spectrogram(spectra: jax.Array,
+                               context: int) -> jax.Array:
+    """Temporal context averaging of an angular spectrogram (..., T, D).
+
+    Each frame becomes the mean of frames [t - context, t + context]
+    with edge-clamped indices — the C++ SRP computor's optional
+    smoothing pass (/root/reference/include/srp-phat.cc:76-88, exposed
+    as --smooth-context in src/compute-srp-phat.cc).
+    """
+    if context <= 0:
+        return spectra
+    t = spectra.shape[-2]
+    acc = 0
+    for c in range(-context, context + 1):
+        idx = np.clip(np.arange(t) + c, 0, t - 1)
+        acc = acc + jnp.take(spectra, jnp.asarray(idx), axis=-2)
+    return acc / (2 * context + 1)
 
 
 def linear_tdoa_grid(dist,

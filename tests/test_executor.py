@@ -167,13 +167,42 @@ def test_batch_enhancer_online_chunked(rng):
         obs = jnp.transpose(spec, (2, 0, 1))              # (F, N, T)
         mk = jnp.asarray(masks[k]).T                      # (F, T)
         tf = obs.shape[-1]
+        # pad frames carry mask_n = 0 (not 1 - 0) so they drop out of
+        # both covariance denominators — matching enhance_batch
+        mn = 1.0 - mk
         pad = (-tf) % chunk
         if pad:
             obs = jnp.pad(obs, ((0, 0), (0, 0), (0, pad)))
             mk = jnp.pad(mk, ((0, 0), (0, pad)))
-        enh = bf.online_supervised_run("mvdr", obs, mk, chunk_size=chunk,
+            mn = jnp.pad(mn, ((0, 0), (0, pad)))
+        enh = bf.online_supervised_run("mvdr", obs, mk, mask_n=mn,
+                                       chunk_size=chunk,
                                        alpha=0.7)[..., :tf]
         ref = np.asarray(inverse_stft(jnp.swapaxes(enh, -1, -2), cfg,
                                       nsamps=s))
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got[k], ref, atol=1e-4 * scale)
+
+
+def test_batch_enhancer_mixed_dtype_bucket(rng):
+    """A bucket mixing int16 and float32 items rescales the int16 ones
+    (the batch array goes float32, so raw int16 values would be ~32768x
+    too loud)."""
+    from setk_tpu.dsp import StftConfig
+    from setk_tpu.parallel.executor import BatchEnhancer
+    cfg = StftConfig()
+    n, s = 3, 8192
+    t = (s // cfg.frame_hop) + 1
+    wf = (rng.standard_normal((n, s)) * 0.09).astype(np.float32)
+    w16 = (wf * 32768.0).astype(np.int16)
+    mask = rng.random((t, cfg.num_bins)).astype(np.float32)
+
+    mixed = BatchEnhancer(cfg, batch_size=2, samples_per_bucket=8192)
+    got = dict(mixed.add("f32", wf, mask) + mixed.add("i16", w16, mask) +
+               mixed.flush())
+    assert set(got) == {"f32", "i16"}
+    # the int16 output must land at float32 scale, not 32768x louder
+    ref = dict(BatchEnhancer(cfg, batch_size=1,
+                             samples_per_bucket=8192).add("i16", w16, mask))
+    scale = np.abs(ref["i16"]).max()
+    np.testing.assert_allclose(got["i16"], ref["i16"], atol=1e-4 * scale)

@@ -118,3 +118,35 @@ def test_pipe_scp(tmp_path):
     scp.write_text("k1 v1\nk2 v2\n")
     d = parse_scps(f"cat {scp} |")
     assert d == {"k1": "v1", "k2": "v2"}
+
+
+def test_kaldi_sparse_read(rng):
+    """SM/SV sparse records (reference kaldi_io.py:182-243) densify."""
+    import struct
+
+    def write_sv(buf, dim, pairs):
+        kaldi.write_token(buf, "SV")
+        kaldi.write_int32(buf, dim)
+        kaldi.write_int32(buf, len(pairs))
+        for i, v in pairs:
+            buf.write(b"\04" + struct.pack("<i", i))
+            buf.write(b"\04" + struct.pack("<f", v))
+
+    rows = [[(1, 0.5), (4, -2.0)], [], [(0, 3.25)]]
+    buf = _io.BytesIO()
+    kaldi.write_token(buf, "SM")
+    kaldi.write_int32(buf, len(rows))
+    for pairs in rows:
+        write_sv(buf, 6, pairs)
+    buf.seek(0)
+    mat = kaldi.read_value(buf)
+    expect = np.zeros((3, 6), np.float32)
+    expect[0, 1], expect[0, 4], expect[2, 0] = 0.5, -2.0, 3.25
+    np.testing.assert_array_equal(mat, expect)
+    # bare sparse vector record
+    buf = _io.BytesIO()
+    write_sv(buf, 5, [(2, 1.5)])
+    buf.seek(0)
+    vec = kaldi.read_value(buf)
+    np.testing.assert_array_equal(vec,
+                                  np.array([0, 0, 1.5, 0, 0], np.float32))

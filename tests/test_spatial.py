@@ -112,3 +112,28 @@ def test_directional_feats_parity(rng):
     ref = ro.ref_spatial.directional_feats(spec, steer)
     ours = np.asarray(sf.directional_feats(spec, steer))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_smooth_angular_spectrogram():
+    """Edge-clamped context mean matches the C++ Smooth loop
+    (/root/reference/include/srp-phat.cc:76-88)."""
+    from setk_tpu.spatial.features import smooth_angular_spectrogram
+    rng = np.random.default_rng(3)
+    spec = rng.random((9, 5)).astype(np.float32)
+    ctx = 2
+    expect = np.zeros_like(spec)
+    for t in range(spec.shape[0]):
+        for c in range(-ctx, ctx + 1):
+            expect[t] += spec[np.clip(t + c, 0, spec.shape[0] - 1)]
+    expect /= 2 * ctx + 1
+    got = np.asarray(smooth_angular_spectrogram(spec, ctx))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    # context 0 is the identity
+    np.testing.assert_array_equal(
+        np.asarray(smooth_angular_spectrogram(spec, 0)), spec)
+    # batched input smooths along the time axis only
+    bspec = rng.random((3, 9, 5)).astype(np.float32)
+    got_b = np.asarray(smooth_angular_spectrogram(bspec, 1))
+    for b in range(3):
+        one = np.asarray(smooth_angular_spectrogram(bspec[b], 1))
+        np.testing.assert_allclose(got_b[b], one, rtol=1e-6)
