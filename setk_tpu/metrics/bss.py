@@ -20,24 +20,34 @@ _FLEN = 512
 
 
 def _fft_corr(a, b, flen):
-    """Cross-correlation r[k] = sum_t a[t - k] * b[t] for k in [0, flen)."""
+    """Cross-correlation r[k] = sum_t a[t - k] * b[t] for k in [0, flen).
+
+    (Round-1 had the conjugate on the wrong operand, i.e. r[k] =
+    sum a[t + k] b[t]: the normal equations then describe the
+    anti-causal shift basis while the reconstruction convolves the
+    causal one, so even a pure 3-sample delay scored ~-23 dB SDR.
+    Caught by the dense-projection oracle test, tests/test_metrics.py.)
+    """
     n = 1 << int(np.ceil(np.log2(len(a) + flen - 1)))
     fa = np.fft.rfft(a, n)
     fb = np.fft.rfft(b, n)
-    r = np.fft.irfft(fa * np.conj(fb), n)
+    r = np.fft.irfft(np.conj(fa) * fb, n)
     return r[:flen]
 
 
 def _project_single(est, ref, flen=_FLEN):
-    """Least-squares projection of est onto flen shifted copies of ref."""
+    """Least-squares projection of est onto flen shifted copies of ref.
+
+    Returns the FULL length-(n + flen - 1) projection — mir_eval's
+    convention (the estimate is zero-padded to that length before the
+    energy ratios)."""
     # autocorrelation (Toeplitz) and cross-correlation right-hand side
     acorr = _fft_corr(ref, ref, flen)
     rhs = _fft_corr(ref, est, flen)
     acorr = acorr.copy()
     acorr[0] += 1e-10 * (acorr[0] + 1.0)
     taps = solve_toeplitz((acorr, acorr), rhs)
-    full = np.convolve(ref, taps)[:len(est)]
-    return full
+    return np.convolve(ref, taps)
 
 
 def _project_span(est, refs, flen=_FLEN):
@@ -59,9 +69,9 @@ def _project_span(est, refs, flen=_FLEN):
                      i * flen:(i + 1) * flen] = block.T
     gram += np.eye(nsrc * flen) * 1e-10 * (np.trace(gram) / (nsrc * flen) + 1)
     coef = np.linalg.solve(gram, rhs)
-    proj = np.zeros(len(est))
+    proj = np.zeros(len(est) + flen - 1)
     for j in range(nsrc):
-        proj += np.convolve(refs[j], coef[j * flen:(j + 1) * flen])[:len(est)]
+        proj += np.convolve(refs[j], coef[j * flen:(j + 1) * flen])
     return proj
 
 
@@ -81,15 +91,18 @@ def bss_eval_sources(est, ref, flen=_FLEN, compute_permutation=True):
     sir = np.zeros((nsrc, nsrc))
     sar = np.zeros((nsrc, nsrc))
     for i in range(nsrc):  # estimate index
+        # mir_eval convention: decomposition lives on the padded
+        # length n + flen - 1 (projections are full convolutions)
+        est_pad = np.concatenate([est[i], np.zeros(flen - 1)])
         p_all = _project_span(est[i], ref, flen) if nsrc > 1 else None
         for j in range(nsrc):  # candidate reference
             s_target = _project_single(est[i], ref[j], flen)
             if nsrc > 1:
                 e_interf = p_all - s_target
-                e_artif = est[i] - p_all
+                e_artif = est_pad - p_all
             else:
                 e_interf = np.zeros_like(s_target)
-                e_artif = est[i] - s_target
+                e_artif = est_pad - s_target
             pt = np.sum(s_target**2)
             sdr[i, j] = _db(pt, np.sum((e_interf + e_artif)**2))
             sir[i, j] = _db(pt, np.sum(e_interf**2))
