@@ -12,8 +12,11 @@ actual Mosaic lowering on real data).  Measured 2026-08-19:
     gevd-ban.wav  magnitude cosine 0.9592
     pmwf-0.wav    magnitude cosine 1.0000
 
-Run: python benchmarks/golden_on_chip.py   (real TPU, ~10 min compile)
+Run: python benchmarks/golden_on_chip.py [out.json]
+(real TPU, ~10 min compile; writes a JSON artifact when a path is given
+— the per-round GOLDEN_ONCHIP_r*.json evidence files)
 """
+import json
 import os
 import sys
 
@@ -23,10 +26,12 @@ import jax
 import jax.numpy as jnp
 
 from setk_tpu.dsp.stft import StftConfig, forward_stft
-from setk_tpu.enhance.cluster import cgmm_em
+from setk_tpu.enhance.cluster import cacgmm_em, cgmm_em
 from setk_tpu.io.wave import read_wav
 from setk_tpu.parallel.enhance_step import enhance_batch
 from setk_tpu.utils.hostdev import on_host
+
+RESULTS = {}
 
 ASSET = "/root/reference/doc"
 cfg = StftConfig()
@@ -71,4 +76,35 @@ for name, golden_file, kw in (("mvdr", "mvdr.wav", {}),
     print(f"{golden_file:>14}: on-chip magnitude cosine {cos:.4f}  {status}",
           flush=True)
     assert np.isfinite(out).all()
+    RESULTS[golden_file] = {"magnitude_cosine": round(cos, 4),
+                            "pass": cos > 0.92}
+
+# --- fused CACGMM ON the chip vs the host XLA path on the same data ----
+# (the in-kernel Jacobi EM's Mosaic lowering on real audio; CPU tests
+# only see interpret mode)
+with on_host():
+    g_host, q_host = cacgmm_em(jnp.asarray(obs), 2, num_iters=20,
+                               use_fused=False)
+    g_host, q_host = np.asarray(g_host), np.asarray(q_host)
+obs_planar = (jnp.asarray(np.real(obs)), jnp.asarray(np.imag(obs)))
+fn_em = jax.jit(lambda re, im: cacgmm_em(
+    jax.lax.complex(re, im), 2, num_iters=20, use_fused=True))
+g_chip, q_chip = fn_em(*obs_planar)
+g_chip, q_chip = np.asarray(g_chip), np.asarray(q_chip)
+mad = float(np.mean(np.abs(g_chip - g_host)))
+corr = float(np.corrcoef(g_chip.ravel(), g_host.ravel())[0, 1])
+dq = float(np.max(np.abs(q_chip - q_host)))
+em_ok = mad < 0.02 and corr > 0.99 and dq < 0.05
+print(f"cacgmm fused-vs-xla: mask MAD {mad:.5f} corr {corr:.5f} "
+      f"max|dQ| {dq:.4f}  {'OK' if em_ok else 'LOW'}", flush=True)
+RESULTS["cacgmm_fused"] = {"mask_mad": round(mad, 5),
+                           "mask_corr": round(corr, 5),
+                           "max_q_diff": round(dq, 4), "pass": em_ok}
+
+if len(sys.argv) > 1:
+    with open(sys.argv[1], "w") as f:
+        json.dump({"results": RESULTS,
+                   "all_pass": all(r["pass"] for r in RESULTS.values())},
+                  f, indent=1)
+    print(f"wrote {sys.argv[1]}", flush=True)
 print("GOLDEN-ON-CHIP DONE")

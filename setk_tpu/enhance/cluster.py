@@ -217,7 +217,8 @@ def cacgmm_em(obs: jax.Array,
               key: jax.Array | None = None,
               state: dict | None = None,
               return_state: bool = False,
-              frame_mask: jax.Array | None = None):
+              frame_mask: jax.Array | None = None,
+              use_fused: bool | None = None):
     """CACGMM EM over obs (F, M, T); observations are L2-normalized over
     the mic axis internally (as the reference does over axis=0 of
     M x F x T, /root/reference/scripts/sptk/libs/cluster.py:489).
@@ -260,6 +261,24 @@ def cacgmm_em(obs: jax.Array,
 
     covar0 = jnp.zeros((num_classes, *batch, f, m, m), dtype=obs.dtype)
     fm = None if frame_mask is None else jnp.asarray(frame_mask)
+
+    # TPU: the whole EM loop runs inside ONE Pallas kernel (observations
+    # stay VMEM-resident across all iterations; ~5x over the XLA scan —
+    # ops/pallas/cacgmm_em.py).  State resume stays on the XLA path
+    # (the kernel initializes alpha to the uniform prior).
+    if use_fused is None:
+        from setk_tpu.utils.hostdev import tpu_target
+        use_fused = tpu_target() and state is None
+    if use_fused and state is None:
+        from setk_tpu.ops.pallas.cacgmm_em import (cacgmm_em_pallas,
+                                                   cacgmm_fused_supported)
+        if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
+            gamma = jnp.broadcast_to(gamma, (num_classes, *batch, f, t))
+            kernel = jnp.broadcast_to(kernel, (num_classes, *batch, f, t))
+            return cacgmm_em_pallas(obs, gamma, kernel, num_iters,
+                                    update_alpha=update_alpha,
+                                    frame_mask=fm,
+                                    return_state=return_state)
 
     def step(carry, _):
         gamma, kernel, alpha, _ = carry

@@ -1,0 +1,285 @@
+"""Pallas TPU kernel: the ENTIRE CACGMM EM loop fused in VMEM.
+
+The XLA EM (enhance/cluster.cacgmm_em) runs each iteration as a
+lax.scan step of separate covariance / Jacobi-inverse / quadratic /
+posterior stages; every stage round-trips its operands through HBM and
+each scan step pays the runtime's fixed step cost, so 20 iterations at
+B=8 measure ~20 ms against a ~2 ms VPU compute floor
+(benchmarks/profile_em.py).
+
+This kernel assigns each (batch, frequency) bin to one position of an
+(8, 128) tile — 1024 bins per grid step, the eigh_small.py layout — and
+keeps the normalized observations, responsibilities and model state
+resident in VMEM while a fori_loop runs ALL EM iterations in-kernel:
+
+  per iteration, per class k (statically unrolled, K and M compile-time):
+    covar[k]  = m * sum_t (gamma*fm/kernel)[k,t] z_t z_t^H / den[k]
+    alpha[k]  = masked mean_t gamma[k,t]              (update_alpha)
+    b_inv[k], logdet[k] = Jacobi eigenvalue-floored inverse
+                          (ops/pallas/eigh_small.jacobi_regularized_inverse)
+    quad[k,t] = max(z_t^H b_inv[k] z_t, EPS)
+    log_pdf   = -m log(quad) - logdet ; posterior softmax over k
+    q[i]     += per-block partial of the masked log-marginal mean
+
+Math parity: /root/reference/scripts/sptk/libs/cluster.py:469-535 (the
+Ito CACGMM trainer), identical update order to the XLA path; validated
+against it by tests/test_pallas.py (interpret mode) and the on-chip
+golden runs.  Only the observations are read from HBM (once), only the
+final responsibilities/state and the Q history are written back.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from setk_tpu.utils.common import EPSILON
+from setk_tpu.ops.pallas.eigh_small import jacobi_regularized_inverse
+
+__all__ = ["cacgmm_em_pallas", "cacgmm_fused_supported"]
+
+_ROWS = 8
+_LANES = 128
+_TILE = _ROWS * _LANES
+_SWEEPS = 6
+# VMEM footprint guard for the resident arrays (the chip allows ~100MB
+# scoped VMEM; leave headroom for Mosaic temporaries)
+_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps,
+               zre_ref, zim_ref, g0_ref, k0_ref, fm_ref,
+               gamma_ref, q_ref, cre_ref, cim_ref, alpha_ref):
+    """One grid step = 1024 bins, all EM iterations.
+
+    Ref shapes (leading block axis dropped by the BlockSpecs):
+      zre/zim: (M, T, 8, 128)   g0/k0: (K, T, 8, 128)   fm: (T, 8, 128)
+      gamma:   (K, T, 8, 128)   q: (num_iters, 8, 128)
+      cre/cim: (K, M*M, 8, 128) alpha: (K, 8, 128)
+    """
+    shape = (_ROWS, _LANES)
+    fm = fm_ref[0]                              # (T, 8, 128)
+    fm_den = jnp.maximum(jnp.sum(fm, axis=0), 1.0)  # (8, 128)
+
+    # pair products P[i][j] = conj(z_i) z_j, recomputed per use from the
+    # VMEM-resident observation block — caching all M(M+1)/2 (T, 8, 128)
+    # pairs would double the footprint for two cheap VPU FMAs each
+    def prod(i, j):
+        zi_re, zi_im = zre_ref[0, i], zim_ref[0, i]
+        zj_re, zj_im = zre_ref[0, j], zim_ref[0, j]
+        p_re = zi_re * zj_re + zi_im * zj_im
+        p_im = zi_re * zj_im - zi_im * zj_re
+        return p_re, p_im
+
+    def iteration(it, carry):
+        gamma, kernel, alpha = carry   # K-tuples of (T,8,128) / (8,128)
+        # ---- M-step ---------------------------------------------------
+        covar_re = [None] * k_classes
+        covar_im = [None] * k_classes
+        alpha_new = [None] * k_classes
+        for k in range(k_classes):
+            g = gamma[k] * fm                                   # (T,8,128)
+            den = jnp.maximum(jnp.sum(g, axis=0), EPSILON)      # (8,128)
+            # the floor only matters for zero-padded bins (kernel plane
+            # pads with 0 -> 0/0 NaN would poison Q); real bins carry
+            # kernel = quad >= EPSILON already
+            w = (g / jnp.maximum(kernel[k], EPSILON)) * (m / den)
+            c_re = [[None] * m for _ in range(m)]
+            c_im = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(i, m):
+                    p_re, p_im = prod(i, j)
+                    # R_ij = sum_t w * z_i conj(z_j) = sum w * conj(P_ij)
+                    c_re[i][j] = jnp.sum(w * p_re, axis=0)
+                    c_im[i][j] = -jnp.sum(w * p_im, axis=0)
+                    if j != i:
+                        c_re[j][i] = c_re[i][j]
+                        c_im[j][i] = -c_im[i][j]
+            covar_re[k], covar_im[k] = c_re, c_im
+            alpha_new[k] = (jnp.sum(g, axis=0) / fm_den
+                            if update_alpha else alpha[k])
+        alpha = tuple(alpha_new)
+        # ---- E-step ---------------------------------------------------
+        log_pdf = [None] * k_classes
+        quad = [None] * k_classes
+        for k in range(k_classes):
+            b_inv_re, b_inv_im, logdet = jacobi_regularized_inverse(
+                covar_re[k], covar_im[k], m, sweeps)
+            qd = jnp.zeros_like(fm)
+            for i in range(m):
+                p_re, _ = prod(i, i)
+                qd = qd + b_inv_re[i][i] * p_re
+            for i in range(m):
+                for j in range(i + 1, m):
+                    p_re, p_im = prod(i, j)
+                    # 2 Re(conj(z_i) B_ij z_j) = 2 (Bre P_re - Bim P_im)
+                    qd = qd + 2.0 * (b_inv_re[i][j] * p_re -
+                                     b_inv_im[i][j] * p_im)
+            quad[k] = jnp.maximum(qd, EPSILON)
+            log_pdf[k] = -m * jnp.log(quad[k]) - logdet[None]
+        # posterior with the max-shifted logsumexp Q statistic
+        mx = log_pdf[0]
+        for k in range(1, k_classes):
+            mx = jnp.maximum(mx, log_pdf[k])
+        num = [jnp.exp(log_pdf[k] - mx) * alpha[k][None]
+               for k in range(k_classes)]
+        den_p = num[0]
+        for k in range(1, k_classes):
+            den_p = den_p + num[k]
+        den_p = jnp.maximum(den_p, EPSILON)
+        gamma = tuple(num[k] / den_p for k in range(k_classes))
+        log_marg = mx + jnp.log(den_p)                      # (T,8,128)
+        q_ref[0, it] = jnp.sum(log_marg * fm, axis=0)
+        # persist the M-step state (last iteration wins)
+        for k in range(k_classes):
+            for i in range(m):
+                for j in range(m):
+                    cre_ref[0, k, i * m + j] = covar_re[k][i][j]
+                    cim_ref[0, k, i * m + j] = covar_im[k][i][j]
+        return gamma, tuple(quad), alpha
+
+    gamma0 = tuple(g0_ref[0, k] for k in range(k_classes))
+    kernel0 = tuple(k0_ref[0, k] for k in range(k_classes))
+    alpha0 = tuple(jnp.full(shape, 1.0 / k_classes, jnp.float32)
+                   for _ in range(k_classes))
+    gamma, _, alpha = jax.lax.fori_loop(
+        0, num_iters, iteration, (gamma0, kernel0, alpha0))
+    for k in range(k_classes):
+        gamma_ref[0, k] = gamma[k]
+        alpha_ref[0, k] = alpha[k]
+
+
+@partial(jax.jit, static_argnames=("m", "k_classes", "num_iters",
+                                   "update_alpha", "sweeps", "interpret"))
+def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
+               update_alpha, sweeps, interpret):
+    """Blocked entry: all arrays carry a leading (nb,) block axis."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    nb, _, t = zre.shape[:3]
+
+    def spec(*dims):
+        return pl.BlockSpec((1, *dims), lambda i: (i,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    kernel = partial(_em_kernel, m, k_classes, num_iters, update_alpha,
+                     sweeps)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[spec(m, t, _ROWS, _LANES), spec(m, t, _ROWS, _LANES),
+                  spec(k_classes, t, _ROWS, _LANES),
+                  spec(k_classes, t, _ROWS, _LANES),
+                  spec(t, _ROWS, _LANES)],
+        out_specs=[spec(k_classes, t, _ROWS, _LANES),
+                   spec(num_iters, _ROWS, _LANES),
+                   spec(k_classes, m * m, _ROWS, _LANES),
+                   spec(k_classes, m * m, _ROWS, _LANES),
+                   spec(k_classes, _ROWS, _LANES)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, k_classes, t, _ROWS, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nb, num_iters, _ROWS, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nb, k_classes, m * m, _ROWS, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nb, k_classes, m * m, _ROWS, _LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nb, k_classes, _ROWS, _LANES),
+                                 jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(zre, zim, g0, k0, fm)
+
+
+def cacgmm_fused_supported(shape, num_classes: int,
+                           num_iters: int) -> bool:
+    """Static dispatch guard: M cap, K cap and the VMEM budget."""
+    *batch, f, m, t = shape
+    if m > 8 or num_classes > 4 or num_iters > 64:
+        return False
+    # resident block arrays: z (2m), gamma/kernel in+out (4K+... ), fm
+    per_bin = 4 * t * (2 * m + 4 * num_classes + 1)
+    return per_bin * _TILE <= _VMEM_BUDGET
+
+
+def _to_bins(arr, lead_shape, t):
+    """(..., T) with ... = (*lead, F[, M/K inner]) -> (nb, ..., T, 8, 128).
+
+    Moves the flattened bin axis (all leading axes collapsed) to
+    (nb, 8, 128) tiles; inner axes stay in place before T.
+    """
+    flat = arr.reshape(-1, *arr.shape[len(lead_shape):])
+    nbins = flat.shape[0]
+    pad = (-nbins) % _TILE
+    if pad:
+        flat = jnp.pad(flat, ((0, pad),) + ((0, 0),) * (flat.ndim - 1))
+    nb = flat.shape[0] // _TILE
+    # (nb, 8, 128, inner..., T) -> (nb, inner..., T, 8, 128)
+    tiled = flat.reshape(nb, _ROWS, _LANES, *flat.shape[1:])
+    perm = (0, *range(3, tiled.ndim), 1, 2)
+    return jnp.transpose(tiled, perm)
+
+
+def cacgmm_em_pallas(obs: jax.Array,
+                     gamma0: jax.Array,
+                     kernel0: jax.Array,
+                     num_iters: int,
+                     update_alpha: bool = True,
+                     frame_mask: jax.Array | None = None,
+                     return_state: bool = False,
+                     sweeps: int = _SWEEPS,
+                     interpret: bool = False):
+    """Fused CACGMM EM: obs (..., F, M, T) L2-normalized observations,
+    gamma0/kernel0 (K, ..., F, T) initial responsibilities/kernels.
+
+    Returns (gamma (K, ..., F, T), q_hist (num_iters,)) and the state
+    dict when ``return_state``; drop-in for the scan in
+    enhance/cluster.cacgmm_em.
+    """
+    *lead, f, m, t = obs.shape
+    k_classes = gamma0.shape[0]
+    nbins = int(np.prod(lead)) * f if lead else f
+    # frame mask doubles as the padded-bin mask (zero rows contribute
+    # nothing to any statistic or to Q)
+    if frame_mask is None:
+        fm_full = jnp.ones((*lead, f, t), jnp.float32)
+    else:
+        fm_full = jnp.broadcast_to(jnp.asarray(frame_mask, jnp.float32),
+                                   (*lead, f, t))
+    lead_f = (*lead, f)
+    zre = _to_bins(jnp.real(obs).astype(jnp.float32), lead_f, t)
+    zim = _to_bins(jnp.imag(obs).astype(jnp.float32), lead_f, t)
+    # gamma/kernel: (K, ..., F, T) -> bins-major with K inner
+    g_in = jnp.moveaxis(gamma0.astype(jnp.float32), 0, -2)  # (...,F,K,T)
+    k_in = jnp.moveaxis(kernel0.astype(jnp.float32), 0, -2)
+    g0b = _to_bins(g_in, lead_f, t)
+    k0b = _to_bins(k_in, lead_f, t)
+    fmb = _to_bins(fm_full, lead_f, t)
+
+    gamma_b, q_b, cre_b, cim_b, alpha_b = _em_blocks(
+        zre, zim, g0b, k0b, fmb, m=m, k_classes=k_classes,
+        num_iters=num_iters, update_alpha=update_alpha, sweeps=sweeps,
+        interpret=interpret)
+
+    def from_bins(blocked, inner):
+        # (nb, inner..., 8, 128) -> (nbins, inner...)
+        moved = jnp.moveaxis(blocked, (-2, -1), (1, 2))
+        flat = moved.reshape(-1, *blocked.shape[1:-2])[:nbins]
+        return flat.reshape(*lead_f, *inner)
+
+    gamma = jnp.moveaxis(from_bins(gamma_b, (k_classes, t)), -2, 0)
+    # Q: masked mean of the log marginal over the real bins
+    q_hist = (jnp.sum(q_b, axis=(0, 2, 3)) /
+              jnp.maximum(jnp.sum(fm_full), 1.0))
+    if not return_state:
+        return gamma, q_hist
+    covar = (from_bins(cre_b, (k_classes, m * m)) +
+             1j * from_bins(cim_b, (k_classes, m * m)))
+    covar = jnp.moveaxis(covar, -2, 0).reshape(k_classes, *lead_f, m, m)
+    alpha = jnp.moveaxis(from_bins(alpha_b, (k_classes,)), -1, 0)
+    return gamma, q_hist, {"covar": covar.astype(obs.dtype),
+                           "alpha": alpha}

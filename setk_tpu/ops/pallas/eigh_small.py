@@ -29,7 +29,7 @@ import numpy as np
 
 from setk_tpu.utils.common import EPSILON
 
-__all__ = ["regularized_inverse_pallas"]
+__all__ = ["regularized_inverse_pallas", "jacobi_regularized_inverse"]
 
 _ROWS = 8
 _LANES = 128
@@ -37,26 +37,31 @@ _SWEEPS = 6
 _TINY = 1e-30
 
 
-def _jacobi_kernel(m, sweeps, ar_ref, ai_ref, ir_ref, ii_ref, ld_ref):
-    shape = ar_ref[0, 0].shape  # (ROWS, LANES)
+def jacobi_regularized_inverse(a_re, a_im, m, sweeps):
+    """Shared in-kernel cyclic-Jacobi eigenvalue-floored inverse.
 
-    def ent(i, j):
-        return ar_ref[i * m + j, 0], ai_ref[i * m + j, 0]
-
+    a_re/a_im: m x m lists of equally-shaped f32 arrays (one batched
+    matrix entry per array position — any register-resident tile shape).
+    Returns (inv_re, inv_im, logdet) with the reference's regularization
+    (eigenvalues scaled by max, floored at EPSILON, inverted; logdet of
+    the scaled floored spectrum — /root/reference/scripts/sptk/libs/
+    cluster.py:94-135).  Used by the standalone EVD kernel below and by
+    the fused CACGMM EM kernel (ops/pallas/cacgmm_em.py).
+    """
+    shape = a_re[0][0].shape
     # hermitianize on load: a[i][j] = 0.5 (A[i][j] + conj(A[j][i]))
-    a_re = [[None] * m for _ in range(m)]
-    a_im = [[None] * m for _ in range(m)]
+    h_re = [[None] * m for _ in range(m)]
+    h_im = [[None] * m for _ in range(m)]
     for i in range(m):
         for j in range(i, m):
-            x_re, x_im = ent(i, j)
-            y_re, y_im = ent(j, i)
-            a_re[i][j] = 0.5 * (x_re + y_re)
-            a_im[i][j] = 0.5 * (x_im - y_im)
+            h_re[i][j] = 0.5 * (a_re[i][j] + a_re[j][i])
+            h_im[i][j] = 0.5 * (a_im[i][j] - a_im[j][i])
             if j != i:
-                a_re[j][i] = a_re[i][j]
-                a_im[j][i] = -a_im[i][j]
+                h_re[j][i] = h_re[i][j]
+                h_im[j][i] = -h_im[i][j]
             else:
-                a_im[i][i] = jnp.zeros(shape, jnp.float32)
+                h_im[i][i] = jnp.zeros(shape, jnp.float32)
+    a_re, a_im = h_re, h_im
     # eigenvector accumulator V = I
     v_re = [[jnp.full(shape, 1.0 if i == j else 0.0, jnp.float32)
              for j in range(m)] for i in range(m)]
@@ -144,7 +149,8 @@ def _jacobi_kernel(m, sweeps, ar_ref, ai_ref, ir_ref, ii_ref, ld_ref):
         wi = jnp.maximum(w[i] / wmax, EPSILON)
         logdet += jnp.log(wi)
         winv.append(1.0 / wi)
-    ld_ref[0, 0] = logdet
+    inv_re = [[None] * m for _ in range(m)]
+    inv_im = [[None] * m for _ in range(m)]
     for i in range(m):
         for j in range(i, m):
             acc_re = jnp.zeros(shape, jnp.float32)
@@ -155,11 +161,22 @@ def _jacobi_kernel(m, sweeps, ar_ref, ai_ref, ir_ref, ii_ref, ld_ref):
                 p_im = v_im[i][y] * v_re[j][y] - v_re[i][y] * v_im[j][y]
                 acc_re += p_re * winv[y]
                 acc_im += p_im * winv[y]
-            ir_ref[i * m + j, 0] = acc_re
-            ii_ref[i * m + j, 0] = acc_im
+            inv_re[i][j], inv_im[i][j] = acc_re, acc_im
             if j != i:
-                ir_ref[j * m + i, 0] = acc_re
-                ii_ref[j * m + i, 0] = -acc_im
+                inv_re[j][i], inv_im[j][i] = acc_re, -acc_im
+    return inv_re, inv_im, logdet
+
+
+def _jacobi_kernel(m, sweeps, ar_ref, ai_ref, ir_ref, ii_ref, ld_ref):
+    a_re = [[ar_ref[i * m + j, 0] for j in range(m)] for i in range(m)]
+    a_im = [[ai_ref[i * m + j, 0] for j in range(m)] for i in range(m)]
+    inv_re, inv_im, logdet = jacobi_regularized_inverse(
+        a_re, a_im, m, sweeps)
+    ld_ref[0, 0] = logdet
+    for i in range(m):
+        for j in range(m):
+            ir_ref[i * m + j, 0] = inv_re[i][j]
+            ii_ref[i * m + j, 0] = inv_im[i][j]
 
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))

@@ -53,7 +53,9 @@ def test_wpe_matches_golden_waveform():
                      nsamps=wav.shape[-1]))  # N x S
     ref_ch = golden if golden.ndim == 1 else golden[0]
     score = _si_snr(out[0], ref_ch)
-    assert score > 15.0, f"Si-SNR vs golden wpe output: {score:.2f} dB"
+    # measured 43.0 dB on 2026-08-19; ratcheted from the round-1 15 dB
+    # floor so regressions cannot hide in the slack (VERDICT r1 #8)
+    assert score > 38.0, f"Si-SNR vs golden wpe output: {score:.2f} dB"
 
 
 def test_cgmm_mvdr_matches_golden_quality():
@@ -79,7 +81,8 @@ def test_cgmm_mvdr_matches_golden_quality():
     t = min(mag_ours.shape[0], mag_gold.shape[0])
     a, b = mag_ours[:t].ravel(), mag_gold[:t].ravel()
     cos = np.inner(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
-    assert cos > 0.95, f"magnitude cosine vs golden: {cos:.4f}"
+    # measured 0.9655 on 2026-08-19; ratcheted from 0.95 (VERDICT r1 #8)
+    assert cos > 0.96, f"magnitude cosine vs golden: {cos:.4f}"
 
 
 def test_psm_masking_matches_golden_enhan():

@@ -494,3 +494,63 @@ def test_pmwf_solve_kernel_matches_xla(rng):
         got = np.asarray(pmwf_select_ref(wm, rs, rn))
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
+
+
+def test_fused_cacgmm_em_matches_xla(rng):
+    """The in-kernel full-EM loop (interpret mode) reproduces the XLA
+    scan: gamma, Q history and the resumable state."""
+    import jax
+    import jax.numpy as jnp
+    from setk_tpu.enhance.cluster import cacgmm_em, norm_observation
+    from setk_tpu.ops.pallas.cacgmm_em import cacgmm_em_pallas
+    b, f, m, t, k, iters = 2, 24, 3, 16, 2, 4
+    obs = (rng.standard_normal((b, f, m, t)) +
+           1j * rng.standard_normal((b, f, m, t))).astype(np.complex64)
+    key = jax.random.PRNGKey(0)
+    ref_g, ref_q, ref_state = cacgmm_em(obs, k, num_iters=iters, key=key,
+                                        return_state=True, use_fused=False)
+    # same random init as cacgmm_em's fresh path
+    obs_n = norm_observation(jnp.asarray(obs), axis=-2)
+    gamma0 = jax.random.uniform(key, (k, b, f, t))
+    gamma0 = gamma0 / jnp.sum(gamma0, 0, keepdims=True)
+    kernel0 = jnp.ones((k, b, f, t))
+    got_g, got_q, got_state = cacgmm_em_pallas(
+        obs_n, gamma0, kernel0, iters, return_state=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_state["alpha"]),
+                               np.asarray(ref_state["alpha"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_state["covar"]),
+                               np.asarray(ref_state["covar"]),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fused_cacgmm_em_frame_mask(rng):
+    """Frame-masked fused EM == XLA EM with the same mask; padded frames
+    do not perturb the statistics."""
+    import jax
+    import jax.numpy as jnp
+    from setk_tpu.enhance.cluster import cacgmm_em, norm_observation
+    from setk_tpu.ops.pallas.cacgmm_em import cacgmm_em_pallas
+    b, f, m, t, k, iters = 1, 16, 3, 20, 2, 3
+    obs = (rng.standard_normal((b, f, m, t)) +
+           1j * rng.standard_normal((b, f, m, t))).astype(np.complex64)
+    obs[..., 14:] = 1e-6  # padded tail
+    fm = np.zeros((b, 1, t), np.float32)
+    fm[..., :14] = 1.0
+    key = jax.random.PRNGKey(3)
+    ref_g, ref_q = cacgmm_em(obs, k, num_iters=iters, key=key,
+                             frame_mask=fm, use_fused=False)
+    obs_n = norm_observation(jnp.asarray(obs), axis=-2)
+    gamma0 = jax.random.uniform(key, (k, b, f, t))
+    gamma0 = gamma0 / jnp.sum(gamma0, 0, keepdims=True)
+    kernel0 = jnp.ones((k, b, f, t))
+    got_g, got_q = cacgmm_em_pallas(obs_n, gamma0, kernel0, iters,
+                                    frame_mask=jnp.asarray(fm),
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g)[..., :14],
+                               np.asarray(ref_g)[..., :14], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=2e-3, atol=1e-3)
