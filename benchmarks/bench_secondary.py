@@ -3,13 +3,21 @@
 
 Rows (bench.py measures the headline B=128 x 8 s MVDR row):
   * mask-based MVDR enhance, B=32 x 4 s (small-batch / latency regime)
-  * batched CACGMM, 20 EM iterations (B=8, 4 s, 6 ch)
+  * the beamformer family at the headline shape
+  * batched CACGMM, 20 EM iterations (B=8 and B=32, 4 s, 6 ch)
   * batched WPE (B=32, 6 ch, 8 s, 10 taps, 3 iterations)
 
-Run: python benchmarks/bench_secondary.py   (real TPU; ~10 min with
-compiles).  Prints one line per row.
+Chain lengths are sized so the remote runtime's fixed per-call overhead
+(measured ~2.5 ms on 2026-08-17, ~25 ms on 2026-08-19 — it varies with
+tunnel load) stays well under 10% of each row.
+
+Run: python benchmarks/bench_secondary.py [out.json]   (real TPU;
+~15 min with compiles).  Prints one line per row; writes the JSON rows
+artifact (the per-round BENCH_SECONDARY_r*.json evidence) when a path
+is given.
 """
 
+import json
 import os
 import sys
 
@@ -29,6 +37,13 @@ from setk_tpu.parallel.enhance_step import enhance_batch
 cfg = StftConfig()
 SR = 16000
 rng = np.random.default_rng(0)
+ROWS = {}
+
+
+def row(name, body, init, audio_s, iters):
+    rate = timed_scan(name, body, init, audio_s, iters=iters)
+    ROWS[name] = {"audio_s_per_s": round(rate, 1)}
+    return rate
 
 
 def main():
@@ -43,7 +58,7 @@ def main():
         out = enhance_batch(wav, m, cfg, beamformer="mvdr")
         return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9
 
-    timed_scan("MVDR B=32 x 4 s", mvdr_body, mask, B * 4)
+    row("MVDR B=32 x 4 s", mvdr_body, mask, B * 4, iters=40)
 
     # --- beamformer family at the headline shape (B=128 x 8 s) ---
     BF, SF = 128, 8 * SR
@@ -60,19 +75,20 @@ def main():
             out = enhance_batch(wavf, m, cfg, beamformer=_bf, **_kw)
             return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9
 
-        timed_scan(f"{name} B=128 x 8 s", fam_body, maskf, BF * 8)
+        row(f"{name} B=128 x 8 s", fam_body, maskf, BF * 8, iters=12)
 
-    # --- CACGMM, 20 EM iterations (B=8 x 4 s) ---
-    BE, SE = 8, 4 * SR
-    we = (rng.standard_normal((BE, 6, SE)) * 0.2).astype(np.float32)
-    spec = forward_stft(jnp.asarray(we), cfg)
-    obs = jax.device_put(jnp.transpose(spec, (0, 3, 1, 2)))  # (B, F, N, T)
+    # --- CACGMM, 20 EM iterations (fused in-VMEM kernel) ---
+    for BE in (8, 32):
+        SE = 4 * SR
+        we = (rng.standard_normal((BE, 6, SE)) * 0.2).astype(np.float32)
+        spec = forward_stft(jnp.asarray(we), cfg)
+        obs = jax.device_put(jnp.transpose(spec, (0, 3, 1, 2)))
 
-    def em_body(o):
-        gamma, _ = cacgmm_em(o, 2, num_iters=20)
-        return o * 0.9999 + jnp.mean(gamma).astype(o.dtype) * 1e-9
+        def em_body(o):
+            gamma, _ = cacgmm_em(o, 2, num_iters=20)
+            return o * 0.9999 + jnp.mean(gamma).astype(o.dtype) * 1e-9
 
-    timed_scan("CACGMM 20 it B=8 x 4 s", em_body, obs, BE * 4, iters=3)
+        row(f"CACGMM 20 it B={BE} x 4 s", em_body, obs, BE * 4, iters=12)
 
     # --- WPE (B=32, 6 ch, 8 s, 10 taps, 3 iterations) ---
     BW, SW = 32, 8 * SR
@@ -84,8 +100,12 @@ def main():
         d = wpe(o, taps=10, delay=3, context=1, num_iters=3)
         return o * 0.9999 + jnp.mean(jnp.abs(d)).astype(o.dtype) * 1e-9
 
-    timed_scan("WPE B=32 x 8 s (10 taps, 3 it)", wpe_body, obsw, BW * 8,
-               iters=3)
+    row("WPE B=32 x 8 s (10 taps, 3 it)", wpe_body, obsw, BW * 8, iters=6)
+
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump({"rows": ROWS}, f, indent=1)
+        print(f"wrote {sys.argv[1]}", flush=True)
 
 
 if __name__ == "__main__":

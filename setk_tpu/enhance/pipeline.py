@@ -281,3 +281,68 @@ def mvdr_enhance_planar(wav: jax.Array,
         jnp.concatenate([enh_re, ny_re[..., None]], axis=-1),
         jnp.concatenate([enh_im, ny_im[..., None]], axis=-1))   # (B, T, F)
     return inverse_stft(enh, cfg, nsamps=out_samps)
+
+
+def fused_online_supported(cfg: StftConfig, num_mics: int, nsamps: int,
+                           out_samps: int, chunk: int) -> bool:
+    from setk_tpu.ops.pallas.fused_mvdr import fused_online_supported \
+        as _sup
+    return _sup(cfg, num_mics, nsamps, out_samps, chunk)
+
+
+def mvdr_enhance_fused_online(wav: jax.Array,
+                              mask_s: jax.Array,
+                              cfg: StftConfig,
+                              chunk_size: int,
+                              alpha: float = 0.8,
+                              power_iters: int = 15,
+                              nsamps: int | None = None,
+                              interpret: bool = False) -> jax.Array:
+    """Online (chunked EMA) MVDR through the fused kernel pair.
+
+    Semantics of beamformer.online_supervised_run with the power-
+    iteration steer (reference --update-periods streaming,
+    /root/reference/src/apply-supervised-mvdr.cc:196-226): per-chunk
+    masked covariances EMA-blended with R <- alpha R + (1-alpha) R_c
+    (first chunk initializes), per-chunk MVDR weights, each chunk
+    beamformed with its own weights.  The whole analysis+EMA+solve runs
+    inside kernel A (per-chunk WEIGHTS are the only intermediate that
+    touches HBM); kernel B recomputes the DFT and applies the per-chunk
+    weights before the shared inverse DIT + overlap-add.  Requires
+    chunk_size | 128 (the kernel's frame quarter), chunk_size >= 8.
+    """
+    import numpy as np
+    from setk_tpu.dsp.window import wss_inverse_blocks
+    from setk_tpu.ops.pallas.fused_mvdr import (
+        _T_PAD, beamform_istft_online_pallas, stft_covar_online_pallas)
+
+    b, n, s = wav.shape
+    t = cfg.num_frames(s)
+    fh = cfg.n_fft // 2
+    hop = cfg.frame_hop
+    out_samps = nsamps if nsamps is not None else s
+    window_key = np.asarray(cfg.padded_window, np.float64).tobytes()
+
+    wavb = wav.reshape(b, n, s // hop, hop)
+    edges = jnp.stack([wav[..., fh:0:-1], wav[..., -2:-(fh + 2):-1]],
+                      axis=2)
+    m32 = mask_s.astype(jnp.float32)
+    mask0 = jnp.pad(m32[..., :fh], ((0, 0), (0, _T_PAD - t), (0, 0)))
+    mask_ny = jnp.pad(
+        jnp.broadcast_to(m32[..., fh:fh + 1], (b, t, 128)),
+        ((0, 0), (0, _T_PAD - t), (0, 0)))
+
+    wcat = stft_covar_online_pallas(wavb, edges, mask0, mask_ny,
+                                    window_key, n_valid_t=t,
+                                    chunk=chunk_size, alpha=float(alpha),
+                                    power_iters=power_iters,
+                                    interpret=interpret)
+    nblk_out = out_samps // hop
+    wss_inv = jnp.asarray(
+        wss_inverse_blocks(cfg.padded_window, t, hop, cfg.n_fft,
+                           out_samps))
+    out = beamform_istft_online_pallas(wavb, edges, wcat, wss_inv,
+                                       window_key, nblk_out=nblk_out,
+                                       chunk=chunk_size,
+                                       interpret=interpret)
+    return out.reshape(b, nblk_out * hop)

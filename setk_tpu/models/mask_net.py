@@ -45,6 +45,88 @@ class SpliceFrames(nn.Module):
         return jnp.concatenate(_shifted_frames(x, offs), axis=-1)
 
 
+def _lstm_gates(gates, c):
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+    h = nn.sigmoid(o) * jnp.tanh(c)
+    return h, c
+
+
+def _rec_matmul(h, wh):
+    """Recurrent h @ W_h in bf16 with f32 accumulation.
+
+    The cell state stays f32; the mask-estimation objective is far above
+    bf16 noise (the nnet3 recipes the reference delegates to train in
+    lower precision too)."""
+    return jax.lax.dot(h.astype(jnp.bfloat16), wh.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+
+class FastLSTM(nn.Module):
+    """LSTM layer built for the MXU (uni- or bi-directional).
+
+    flax's nn.RNN(OptimizedLSTMCell) issues the full (in+hidden) gate
+    matmul inside every scan step, so the whole input projection runs
+    as T sequential latency-bound matmuls (the round-1 BLSTM trained at
+    13 steps/s).  Three restructurings:
+      * the input half x W_x of all gates is ONE time-parallel
+        (B*T, in) x (in, 4H) matmul outside the recurrence;
+      * bidirectional = BOTH directions inside one scan step (their
+        recurrent matmuls are independent, so the MXU pipelines them)
+        instead of two full sequential scans;
+      * the recurrent matmul runs bf16 with f32 accumulation.
+    Same math as the standard LSTM (and the nnet3 lstm layers the
+    reference delegates to, /root/reference/steps/train_rnn_mask.sh).
+    """
+    hidden: int
+    bidirectional: bool = False
+    unroll: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, _ = x.shape
+        h4 = 4 * self.hidden
+        # time-parallel input projections (carry the biases)
+        xg_f = nn.Dense(h4, name="wx_f")(x)                   # (B, T, 4H)
+        wh_f = self.param("wh_f", nn.initializers.orthogonal(),
+                          (self.hidden, h4))
+        h0 = jnp.zeros((b, self.hidden), x.dtype)
+        if not self.bidirectional:
+            def step(carry, xg_t):
+                h, c = carry
+                h, c = _lstm_gates(xg_t + _rec_matmul(h, wh_f), c)
+                return (h, c), h
+
+            (_, _), ys = jax.lax.scan(step, (h0, h0),
+                                      jnp.swapaxes(xg_f, 0, 1),
+                                      unroll=self.unroll)
+            return jnp.swapaxes(ys, 0, 1)
+
+        xg_b = nn.Dense(h4, name="wx_b")(x)
+        wh_b = self.param("wh_b", nn.initializers.orthogonal(),
+                          (self.hidden, h4))
+        # NEGATIVE RESULT (measured on chip, B=64 T=400 H=512): fusing
+        # the two directions into one blockdiag (B, 2H) x (2H, 8H) dot
+        # per step ran 100 ms/train-step vs 83 for this form — the 2x
+        # wasted MACs beat the saved launch latency.  The recurrence is
+        # irreducibly latency-bound at this batch (17 us/step forward
+        # against ~2 us of MXU math).
+
+        def step(carry, xs):
+            hf, cf, hb, cb = carry
+            xf_t, xb_t = xs
+            hf, cf = _lstm_gates(xf_t + _rec_matmul(hf, wh_f), cf)
+            hb, cb = _lstm_gates(xb_t + _rec_matmul(hb, wh_b), cb)
+            return (hf, cf, hb, cb), (hf, hb)
+
+        xs = (jnp.swapaxes(xg_f, 0, 1), jnp.flip(
+            jnp.swapaxes(xg_b, 0, 1), axis=0))
+        _, (ys_f, ys_b) = jax.lax.scan(step, (h0, h0, h0, h0), xs,
+                                       unroll=self.unroll)
+        ys = jnp.concatenate([ys_f, jnp.flip(ys_b, axis=0)], axis=-1)
+        return jnp.swapaxes(ys, 0, 1)
+
+
 class TdnnBlock(nn.Module):
     """Sub-sampled time-dilated affine + ReLU (TDNN layer)."""
     dim: int
@@ -92,16 +174,9 @@ class MaskNet(nn.Module):
             for i in range(self.num_layers):
                 x = TdnnBlock(self.hidden, dilation=2**i)(x)
         elif self.arch in ("lstm", "blstm"):
-            # unroll=8: the recurrence is latency-bound on small
-            # sequential matmuls; unrolling lets XLA pipeline them
             for _ in range(self.num_layers):
-                fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), unroll=8)
-                if self.arch == "blstm":
-                    bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
-                                 reverse=True, keep_order=True, unroll=8)
-                    x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
-                else:
-                    x = fwd(x)
+                x = FastLSTM(self.hidden,
+                             bidirectional=self.arch == "blstm")(x)
         else:
             raise ValueError(f"Unknown arch: {self.arch}")
         return nn.sigmoid(nn.Dense(self.num_bins)(x))

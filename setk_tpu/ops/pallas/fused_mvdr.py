@@ -484,3 +484,343 @@ def beamform_istft_pallas(wavb: jax.Array, edges: jax.Array,
         interpret=interpret,
     )(wavb, edges, wcat, bek, bok, w0, w1, aek, aok, ws0, ws1,
       wss_inv)[0]
+
+
+# --------------------------------------------------------------------------
+# Online (chunked EMA) variant — the reference's --update-periods mode
+# --------------------------------------------------------------------------
+
+def fused_online_supported(cfg, num_mics: int, nsamps: int,
+                           out_samps: int, chunk: int) -> bool:
+    """The online fused path additionally needs the chunk to tile the
+    kernel's 128-frame quarters."""
+    return (fused_mvdr_supported(cfg, num_mics, nsamps, out_samps)
+            and 8 <= chunk <= _QUARTER and _QUARTER % chunk == 0)
+
+
+def _ema_matrices(chunk: int, alpha: float):
+    """Per-quarter EMA mixing constants.
+
+    e_g = alpha^{g+1} prev + sum_{j<=g} alpha^{g-j} phi_j c_j with
+    phi_j = 1 - alpha (except the global first chunk: phi = 1).  W is
+    the lower-triangular chunk-mixing matrix; d the prev-decay column.
+    """
+    g = _QUARTER // chunk
+    j = np.arange(g)
+    powers = np.where(j[:, None] >= j[None, :],
+                      alpha ** (j[:, None] - j[None, :]), 0.0)
+    w = powers * (1.0 - alpha)
+    w0 = w.copy()
+    w0[:, 0] = powers[:, 0]  # global first chunk: phi = 1
+    d = (alpha ** (j + 1.0))[:, None]
+
+    def kstack(m):
+        # hi/lo K-stack [W_h | W_l | W_h] so the in-kernel EMA mixing
+        # dot runs error-compensated: the plain bf16 dot rounded the
+        # alpha-power mixing weights themselves and the on-chip online
+        # output drifted to ~9e-3 relative vs the XLA path
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return np.concatenate([hi, hi, lo], axis=1)
+
+    return kstack(np.asarray(w0, np.float32)), kstack(
+        np.asarray(w, np.float32)), np.asarray(d, np.float32)
+
+
+def _stft_covar_online_kernel(n_mics, nblk, n_valid_t, chunk, alpha,
+                              power_iters, wav_ref, edge_ref, mask_ref,
+                              maskny_ref, permp_ref, bek_ref, bok_ref,
+                              w0_ref, w1_ref, wem0_ref, wem_ref, dem_ref,
+                              wcat_ref, x_scr, ke_scr, ko_scr):
+    from setk_tpu.ops.pallas.mvdr import mvdr_weights_tiles
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    n = n_mics
+    g_per_q = _QUARTER // chunk
+    w0_c, w_c, d_c = wem0_ref[...], wem_ref[...], dem_ref[...]
+    wcat_ref[...] = jnp.zeros_like(wcat_ref)
+    ms_nat = mask_ref[0]
+    mh = ms_nat.astype(jnp.bfloat16)
+    mlo = (ms_nat - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+    msp = dot(mh, permp_ref[...]) + dot(mlo, permp_ref[...])
+    zero_g = jnp.zeros((g_per_q, _LANES), jnp.float32)
+    zero_t = jnp.zeros((_QUARTER, _LANES), jnp.float32)
+    # EMA carries: [i][j][sec] -> (1, 128) rows (last chunk's state)
+    zrow = jnp.zeros((1, _LANES), jnp.float32)
+    prev = {m: [[[zrow] * 3 for _ in range(n)] for _ in range(n)]
+            for m in ("sr", "si", "nr", "ni")}
+
+    for q in range(_T_PAD // _QUARTER):
+        if q * _QUARTER > nblk + 1:
+            break  # quarter holds only zero pad blocks (static skip)
+        w_mix = w0_c if q == 0 else w_c
+        ev, od = _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref,
+                                  bek_ref, bok_ref, w0_ref, w1_ref,
+                                  x_scr, ke_scr, ko_scr)
+        row0 = q * _QUARTER
+        valid = (jax.lax.broadcasted_iota(
+            jnp.int32, (_QUARTER, 256), 0) + row0 < n_valid_t).astype(
+                jnp.float32)
+        ms_q = msp[row0:row0 + _QUARTER]
+        mn_q = (1.0 - ms_q) * valid
+        ms_ny = maskny_ref[0, row0:row0 + _QUARTER]
+        mn_ny = (1.0 - ms_ny) * valid[:, 0:128]
+
+        def gsum(x):
+            """Per-chunk sums: (128, 128) -> (G, 128)."""
+            return jnp.sum(x.reshape(g_per_q, chunk, _LANES), axis=1)
+
+        inv_s = [1.0 / jnp.maximum(gsum(m), 1e-6)
+                 for m in (ms_q[:, 0:128], ms_q[:, 128:256], ms_ny)]
+        inv_n = [1.0 / jnp.maximum(gsum(m), 1e-6)
+                 for m in (mn_q[:, 0:128], mn_q[:, 128:256], mn_ny)]
+
+        def tile(mic, which):
+            r0 = mic * _QUARTER
+            if which == 0:
+                return (ev[r0:r0 + _QUARTER, 0:128],
+                        ev[r0:r0 + _QUARTER, 128:256])
+            if which == 1:
+                return (od[r0:r0 + _QUARTER, 0:128],
+                        od[r0:r0 + _QUARTER, 128:256])
+            return ev[r0:r0 + _QUARTER, 256:384], zero_t
+
+        # per-chunk normalized covariances, EMA-mixed via one (G, G)
+        # dot per entry plane: e = W_mix @ c + d * prev
+        rs_re = [[None] * n for _ in range(n)]
+        rs_im = [[None] * n for _ in range(n)]
+        rn_re = [[None] * n for _ in range(n)]
+        rn_im = [[None] * n for _ in range(n)]
+        for a_i in range(n):
+            for b_i in range(a_i, n):
+                acc = {m: [] for m in ("sr", "si", "nr", "ni")}
+                for sec, which in ((0, 0), (1, 1), (2, 2)):
+                    xa_re, xa_im = tile(a_i, which)
+                    yb_re, yb_im = tile(b_i, which)
+                    if which == 2:
+                        p_re = xa_re * yb_re
+                        ms_t, mn_t = ms_ny, mn_ny
+                    else:
+                        p_re = xa_re * yb_re + xa_im * yb_im
+                        olo = 128 * sec
+                        ms_t = ms_q[:, olo:olo + 128]
+                        mn_t = mn_q[:, olo:olo + 128]
+                    cs_re = gsum(ms_t * p_re) * inv_s[sec]
+                    cn_re = gsum(mn_t * p_re) * inv_n[sec]
+                    if a_i == b_i or which == 2:
+                        cs_im = cn_im = zero_g
+                    else:
+                        p_im = xa_im * yb_re - xa_re * yb_im
+                        cs_im = gsum(ms_t * p_im) * inv_s[sec]
+                        cn_im = gsum(mn_t * p_im) * inv_n[sec]
+                    for m, c in (("sr", cs_re), ("si", cs_im),
+                                 ("nr", cn_re), ("ni", cn_im)):
+                        c_h = c.astype(jnp.bfloat16)
+                        c_l = (c - c_h.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        c3 = jnp.concatenate([c_h, c_l, c_h], axis=0)
+                        e = dot(w_mix, c3) + d_c * prev[m][a_i][b_i][sec]
+                        prev[m][a_i][b_i][sec] = e[g_per_q - 1:g_per_q]
+                        acc[m].append(e)
+                # stack the 3 bin sections along sublanes: (3G, 128)
+                rs_re[a_i][b_i] = jnp.concatenate(acc["sr"], axis=0)
+                rs_im[a_i][b_i] = jnp.concatenate(acc["si"], axis=0)
+                rn_re[a_i][b_i] = jnp.concatenate(acc["nr"], axis=0)
+                rn_im[a_i][b_i] = jnp.concatenate(acc["ni"], axis=0)
+                if b_i != a_i:
+                    rs_re[b_i][a_i] = rs_re[a_i][b_i]
+                    rs_im[b_i][a_i] = -rs_im[a_i][b_i]
+                    rn_re[b_i][a_i] = rn_re[a_i][b_i]
+                    rn_im[b_i][a_i] = -rn_im[a_i][b_i]
+
+        # one lane-parallel MVDR solve covers all G chunks x 3 sections
+        w_re, w_im = mvdr_weights_tiles(rs_re, rs_im, rn_re, rn_im, n,
+                                        power_iters, 1e-6)
+        c0 = q * g_per_q
+        for mic in range(n):
+            for g in range(g_per_q):
+                wcat_ref[0, c0 + g, mic, 0:128] = w_re[mic][g]
+                wcat_ref[0, c0 + g, mic, 128:256] = w_re[mic][g_per_q + g]
+                wcat_ref[0, c0 + g, mic, 256:384] = w_im[mic][g]
+                wcat_ref[0, c0 + g, mic, 384:512] = w_im[mic][g_per_q + g]
+                wcat_ref[0, c0 + g, mic, 512:640] = w_re[mic][
+                    2 * g_per_q + g]
+
+
+@partial(jax.jit, static_argnames=("window_key", "n_valid_t", "chunk",
+                                   "alpha", "power_iters", "interpret"))
+def stft_covar_online_pallas(wavb: jax.Array, edges: jax.Array,
+                             mask0: jax.Array, mask_ny: jax.Array,
+                             window_key: bytes, n_valid_t: int,
+                             chunk: int, alpha: float,
+                             power_iters: int = 15,
+                             interpret: bool = False):
+    """Online fused analysis: framing + DIF DFT + per-chunk masked
+    covariances + EMA (reference --update-periods semantics,
+    /root/reference/src/apply-supervised-mvdr.cc:196-226) + the
+    in-kernel lane-parallel MVDR solve — PER-CHUNK WEIGHTS out.
+
+    Inputs as :func:`stft_covar_pallas`; returns wcat (B, NC, N, 640)
+    f32 packed per-chunk weights (NC = 512/chunk rows, pad rows zero)
+    in the beamform kernel's [wr_e|wr_o|wi_e|wi_o|wny] layout.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    b, n, nblk, hop = wavb.shape
+    scale = 1.0 / 32768.0 if wavb.dtype == jnp.int16 else 1.0
+    bek, bok, w0, w1 = (jnp.asarray(v)
+                        for v in _dif_bases(window_key, scale))
+    permp = jnp.asarray(_perm_matrix())
+    wem0, wem, dem = (jnp.asarray(v) for v in _ema_matrices(chunk, alpha))
+    nc = _T_PAD // chunk
+
+    def const(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    wav_spec = pl.BlockSpec((1, n, nblk, hop), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    edge_spec = pl.BlockSpec((1, n, 2, hop), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, _T_PAD, _FH), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    maskny_spec = pl.BlockSpec((1, _T_PAD, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nc, n, 640), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_stft_covar_online_kernel, n, nblk, n_valid_t, chunk,
+                alpha, power_iters),
+        grid=(b,),
+        in_specs=[wav_spec, edge_spec, mask_spec, maskny_spec,
+                  const(permp), const(bek), const(bok), const(w0),
+                  const(w1), const(wem0), const(wem), const(dem)],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, nc, n, 640), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((_QUARTER + 1, hop), wavb.dtype),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wavb, edges, mask0, mask_ny, permp, bek, bok, w0, w1, wem0, wem,
+      dem)[0]
+
+
+def _beamform_istft_online_kernel(n_mics, nblk, nblk_out, chunk, wav_ref,
+                                  edge_ref, wcat_ref, bek_ref, bok_ref,
+                                  w0_ref, w1_ref, aek_ref, aok_ref,
+                                  ws0_ref, ws1_ref, wss_ref, out_ref,
+                                  x_scr, ke_scr, ko_scr, enh_scr,
+                                  kie_scr, kio_scr, ola_scr):
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    g_per_q = _QUARTER // chunk
+    ola_scr[...] = jnp.zeros_like(ola_scr)
+    for q in range(_T_PAD // _QUARTER):
+        if q * _QUARTER > nblk + 1:
+            break
+        row0 = q * _QUARTER
+        c0 = q * g_per_q
+        ev, od = _dif_quarter_all(n_mics, q, nblk, wav_ref, edge_ref,
+                                  bek_ref, bok_ref, w0_ref, w1_ref,
+                                  x_scr, ke_scr, ko_scr)
+        enh_scr[...] = jnp.zeros_like(enh_scr)
+        for mic in range(n_mics):
+            r0 = mic * _QUARTER
+            re_e = ev[r0:r0 + _QUARTER, 0:128]
+            im_e = ev[r0:r0 + _QUARTER, 128:256]
+            ny = ev[r0:r0 + _QUARTER, 256:384]
+            re_o = od[r0:r0 + _QUARTER, 0:128]
+            im_o = od[r0:r0 + _QUARTER, 128:256]
+            # per-chunk weights: each 128-frame quarter applies its
+            # G = 128/chunk weight rows to chunk-sized frame groups
+            for g in range(g_per_q):
+                rs_ = slice(g * chunk, (g + 1) * chunk)
+                wr_e = wcat_ref[0, c0 + g, mic, 0:128]
+                wr_o = wcat_ref[0, c0 + g, mic, 128:256]
+                wi_e = wcat_ref[0, c0 + g, mic, 256:384]
+                wi_o = wcat_ref[0, c0 + g, mic, 384:512]
+                wny = wcat_ref[0, c0 + g, mic, 512:640]
+                enh_scr[rs_, 0:128] += (wr_e * re_e[rs_] +
+                                        wi_e * im_e[rs_])
+                enh_scr[rs_, 128:256] += (wr_e * im_e[rs_] -
+                                          wi_e * re_e[rs_])
+                enh_scr[rs_, 256:384] += wny * ny[rs_]
+                enh_scr[rs_, 384:512] += (wr_o * re_o[rs_] +
+                                          wi_o * im_o[rs_])
+                enh_scr[rs_, 512:640] += (wr_o * im_o[rs_] -
+                                          wi_o * re_o[rs_])
+        _kstack3(enh_scr[:, 0:384], kie_scr, 384)
+        _kstack3(enh_scr[:, 384:640], kio_scr, 256)
+        ae = dot(kie_scr[...], aek_ref[...])
+        od_i = dot(kio_scr[...], aok_ref[...])
+        p = (ae + od_i) * ws0_ref[...]
+        qq = (ae - od_i) * ws1_ref[...]
+        ola_scr[row0:row0 + _QUARTER] += qq
+        if q == 0:
+            ola_scr[0:_QUARTER - 1] += p[1:_QUARTER]
+        else:
+            ola_scr[row0 - 1:row0 + _QUARTER - 1] += p
+    out_ref[0] = ola_scr[0:nblk_out] * wss_ref[...]
+
+
+@partial(jax.jit, static_argnames=("window_key", "nblk_out", "chunk",
+                                   "interpret"))
+def beamform_istft_online_pallas(wavb: jax.Array, edges: jax.Array,
+                                 wcat: jax.Array, wss_inv: jax.Array,
+                                 window_key: bytes, nblk_out: int,
+                                 chunk: int,
+                                 interpret: bool = False) -> jax.Array:
+    """Online variant of :func:`beamform_istft_pallas`: wcat carries one
+    weight row PER CHUNK (B, NC, N, 640) and each chunk's frames are
+    beamformed with their own weights before the shared inverse
+    DIT + overlap-add."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    b, n, nblk, hop = wavb.shape
+    nc = wcat.shape[1]
+    scale = 1.0 / 32768.0 if wavb.dtype == jnp.int16 else 1.0
+    bek, bok, w0, w1 = (jnp.asarray(v)
+                        for v in _dif_bases(window_key, scale))
+    aek, aok, ws0, ws1 = (jnp.asarray(v)
+                          for v in _dit_inverse_bases(window_key))
+
+    def const(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    wav_spec = pl.BlockSpec((1, n, nblk, hop), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    edge_spec = pl.BlockSpec((1, n, 2, hop), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    wcat_spec = pl.BlockSpec((1, nc, n, 640), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nblk_out, hop), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_beamform_istft_online_kernel, n, nblk, nblk_out, chunk),
+        grid=(b,),
+        in_specs=[wav_spec, edge_spec, wcat_spec, const(bek), const(bok),
+                  const(w0), const(w1), const(aek), const(aok),
+                  const(ws0), const(ws1), const(wss_inv)],
+        out_specs=[out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nblk_out, hop), jnp.float32)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_QUARTER + 1, hop), wavb.dtype),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
+            pltpu.VMEM((n * _QUARTER, 3 * hop), jnp.bfloat16),
+            pltpu.VMEM((_QUARTER, 640), jnp.float32),
+            pltpu.VMEM((_QUARTER, 3 * 384), jnp.bfloat16),
+            pltpu.VMEM((_QUARTER, 3 * 256), jnp.bfloat16),
+            pltpu.VMEM((_T_PAD, hop), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wavb, edges, wcat, bek, bok, w0, w1, aek, aok, ws0, ws1,
+      wss_inv)[0]

@@ -149,10 +149,30 @@ def _anchor_phase(v_re, v_im, n, shape):
     return d_re, d_im
 
 
-def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
-                 rn_im_ref, w_re_ref, w_im_ref):
+def _hermitianize_tiles(m_re, m_im, n):
+    """Value-level 0.5 (R + R^H) over n x n lists of tiles."""
+    h_re = [[None] * n for _ in range(n)]
+    h_im = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            h_re[i][j] = 0.5 * (m_re[i][j] + m_re[j][i])
+            h_im[i][j] = 0.5 * (m_im[i][j] - m_im[j][i])
+            if j != i:
+                h_re[j][i] = h_re[i][j]
+                h_im[j][i] = -h_im[i][j]
+    return h_re, h_im
+
+
+def mvdr_weights_tiles(rs_re, rs_im, rn_re, rn_im, n, power_iters,
+                       eps_rel):
+    """In-kernel MVDR weight solve on n x n lists of planar tile values
+    (any tile shape; every position an independent bin).  Returns
+    (w_re, w_im) lists.  Shared by the standalone weights kernel below
+    and the fused online pipeline (fused_mvdr.stft_covar_online_pallas),
+    which solves per EMA chunk inside the covariance kernel.
+    """
     # ---- 1. steer vector: power iteration on hermitianized Rs ----
-    s_re, s_im = _load_herm(rs_re_ref, rs_im_ref, n)
+    s_re, s_im = _hermitianize_tiles(rs_re, rs_im, n)
     shape = s_re[0][0].shape
     # ramp init de-symmetrizes (matches ops.linalg.power_iteration)
     v_re = [jnp.full(shape, (k + 1.0) / n, jnp.float32) for k in range(n)]
@@ -168,7 +188,7 @@ def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
     d_re, d_im = _anchor_phase(v_re, v_im, n, shape)
 
     # ---- 3. Rn hermitianize + scale-invariant diagonal loading ----
-    a_re, a_im = _load_herm(rn_re_ref, rn_im_ref, n)
+    a_re, a_im = _hermitianize_tiles(rn_re, rn_im, n)
     _load_diag(a_re, n, eps_rel)
 
     # ---- 4. unrolled complex Cholesky; solve Rn x = d ----
@@ -185,11 +205,26 @@ def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
         den_im += p_i
     inv_den = 1.0 / jnp.maximum(den_re * den_re + den_im * den_im,
                                 EPSILON * EPSILON)
+    w_re, w_im = [None] * n, [None] * n
     for i in range(n):
         # x / den = x * conj(den) / |den|^2
         w_r, w_i = _cmul_conj(x_re[i], x_im[i], den_re, den_im)
-        w_re_ref[i, 0] = w_r * inv_den
-        w_im_ref[i, 0] = w_i * inv_den
+        w_re[i] = w_r * inv_den
+        w_im[i] = w_i * inv_den
+    return w_re, w_im
+
+
+def _mvdr_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
+                 rn_im_ref, w_re_ref, w_im_ref):
+    rs_re = [[rs_re_ref[i * n + j, 0] for j in range(n)] for i in range(n)]
+    rs_im = [[rs_im_ref[i * n + j, 0] for j in range(n)] for i in range(n)]
+    rn_re = [[rn_re_ref[i * n + j, 0] for j in range(n)] for i in range(n)]
+    rn_im = [[rn_im_ref[i * n + j, 0] for j in range(n)] for i in range(n)]
+    w_re, w_im = mvdr_weights_tiles(rs_re, rs_im, rn_re, rn_im, n,
+                                    power_iters, eps_rel)
+    for i in range(n):
+        w_re_ref[i, 0] = w_re[i]
+        w_im_ref[i, 0] = w_im[i]
 
 
 def _gevd_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,

@@ -54,6 +54,19 @@ def enhance_batch(wav: jax.Array,
     on_tpu = tpu_target()
     steer_r = ("power" if on_tpu else "eigh") if steer == "auto" else steer
     if chunk_size > 0:
+        if on_tpu and beamformer == "mvdr" and not ban and \
+                steer_r == "power":
+            from setk_tpu.enhance.pipeline import (
+                fused_online_supported, mvdr_enhance_fused_online)
+            out_samps = nsamps if nsamps is not None else wav.shape[-1]
+            if fused_online_supported(cfg, wav.shape[-2], wav.shape[-1],
+                                      out_samps, chunk_size):
+                # whole online pipeline (per-chunk EMA covariances +
+                # in-kernel per-chunk MVDR solves) in the fused kernel
+                # pair; per-chunk weights are the only HBM intermediate
+                return mvdr_enhance_fused_online(
+                    wav, mask_s, cfg, chunk_size=chunk_size,
+                    alpha=alpha, nsamps=nsamps)
         if wav.dtype == jnp.int16:
             wav = wav.astype(jnp.float32) / 32768.0
         spec = forward_stft(wav, cfg)                 # (B, N, T, F)

@@ -554,3 +554,61 @@ def test_fused_cacgmm_em_frame_mask(rng):
                                np.asarray(ref_g)[..., :14], atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
                                rtol=2e-3, atol=1e-3)
+
+
+def test_fused_online_mvdr_matches_xla(rng):
+    """Online fused pipeline (per-chunk EMA covariances + in-kernel
+    per-chunk MVDR solves) vs beamformer.online_supervised_run with the
+    same power-iteration steer and zero-padded noise mask."""
+    import jax.numpy as jnp
+    from functools import partial as _partial
+    from setk_tpu.dsp.stft import StftConfig, forward_stft, inverse_stft
+    from setk_tpu.enhance import beamformer as bf
+    from setk_tpu.enhance.pipeline import (fused_online_supported,
+                                           mvdr_enhance_fused_online)
+    cfg = StftConfig()
+    B, N, S, CHUNK, ALPHA = 2, 3, 16384, 16, 0.7
+    assert fused_online_supported(cfg, N, S, S, CHUNK)
+    wav = jnp.asarray(rng.standard_normal((B, N, S)).astype(np.float32))
+    t = cfg.num_frames(S)
+    mask = jnp.asarray(rng.random((B, t, cfg.num_bins)).astype(np.float32))
+    out_f = np.asarray(mvdr_enhance_fused_online(
+        wav, mask, cfg, chunk_size=CHUNK, alpha=ALPHA, interpret=True))
+
+    spec = forward_stft(wav, cfg)
+    obs = jnp.transpose(spec, (0, 3, 1, 2))            # (B, F, N, T)
+    mk = jnp.transpose(mask, (0, 2, 1))                # (B, F, T)
+    mn = 1.0 - mk
+    pad = (-t) % CHUNK
+    if pad:
+        obs = jnp.pad(obs, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        mk = jnp.pad(mk, ((0, 0), (0, 0), (0, pad)))
+        mn = jnp.pad(mn, ((0, 0), (0, 0), (0, pad)))
+    orig = bf.WEIGHT_FNS["mvdr"]
+    bf.WEIGHT_FNS["mvdr"] = _partial(bf.mvdr_weights, steer="power",
+                                     use_pallas=False)
+    try:
+        enh = bf.online_supervised_run("mvdr", obs, mk, mask_n=mn,
+                                       chunk_size=CHUNK,
+                                       alpha=ALPHA)[..., :t]
+    finally:
+        bf.WEIGHT_FNS["mvdr"] = orig
+    out_r = np.asarray(
+        inverse_stft(jnp.swapaxes(enh, -1, -2), cfg, nsamps=S))
+    assert out_f.shape == out_r.shape
+    assert np.abs(out_f - out_r).max() / np.abs(out_r).max() < 2e-3
+
+
+def test_fused_online_short_and_chunk32(rng):
+    """Short utterance (pad quarters skipped) + a 32-frame chunk."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig
+    from setk_tpu.enhance.pipeline import mvdr_enhance_fused_online
+    cfg = StftConfig()
+    B, N, S = 1, 2, 8192
+    wav = jnp.asarray(rng.standard_normal((B, N, S)).astype(np.float32))
+    t = cfg.num_frames(S)
+    mask = jnp.asarray(rng.random((B, t, cfg.num_bins)).astype(np.float32))
+    out = np.asarray(mvdr_enhance_fused_online(
+        wav, mask, cfg, chunk_size=32, alpha=0.8, interpret=True))
+    assert out.shape == (B, S) and np.isfinite(out).all()
