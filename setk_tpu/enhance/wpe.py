@@ -91,15 +91,54 @@ def wpe_step(reverb: jax.Array, taps_mat: jax.Array,
                                taps_mat, precision=GRAM_PRECISION)
 
 
+def _wpe_fused(reverb, taps, delay, context, num_iters, interpret=False):
+    """Tap-free fused WPE: the Gram/apply kernels build the delayed-tap
+    design matrix in VMEM from the raw spectra (the XLA path's
+    (.., N*K, T) tap stack costs ~35 ms to build and every Gram/apply
+    pass re-streams ~2.2 GB of it — ops/pallas/wpe_gram.py)."""
+    from setk_tpu.ops.pallas.wpe_gram import (wpe_apply_pallas,
+                                              wpe_gram_pallas)
+    *lead, f, n, t = reverb.shape
+    cols = (taps + 1) * n
+    nk = n * taps
+    obs_re = jnp.real(reverb).reshape(-1, n, t).astype(jnp.float32)
+    obs_im = jnp.imag(reverb).reshape(-1, n, t).astype(jnp.float32)
+    bins = obs_re.shape[0]
+    g_re = jnp.zeros((bins, nk, n), jnp.float32)
+    g_im = jnp.zeros((bins, nk, n), jnp.float32)
+    for i in range(num_iters):
+        gr, gi = wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n=n,
+                                 taps=taps, delay=delay, context=context,
+                                 use_g=i > 0, interpret=interpret)
+        gram = (gr + 1j * gi)[:, :cols, :cols]
+        corr = gram[:, n:, n:]
+        cross = gram[:, n:, :n]
+        filt = hermitian_solve(corr, cross)
+        g_re = jnp.real(filt).astype(jnp.float32)
+        g_im = jnp.imag(filt).astype(jnp.float32)
+    dr, di = wpe_apply_pallas(obs_re, obs_im, g_re, g_im, n=n, taps=taps,
+                              delay=delay, interpret=interpret)
+    d = (dr + 1j * di)[:, :n].astype(reverb.dtype)
+    return d.reshape(*lead, f, n, t)
+
+
 def wpe(reverb: jax.Array,
         taps: int = 10,
         delay: int = 3,
         context: int = 1,
-        num_iters: int = 3) -> jax.Array:
+        num_iters: int = 3,
+        use_fused: bool | None = None) -> jax.Array:
     """GWPE over (..., F, N, T): iterate lambda -> filter.
 
     Parity: /root/reference/scripts/sptk/libs/wpe.py:80-110.
     """
+    if use_fused is None:
+        from setk_tpu.utils.hostdev import tpu_target
+        from setk_tpu.ops.pallas.wpe_gram import wpe_fused_supported
+        use_fused = tpu_target() and wpe_fused_supported(
+            reverb.shape[-2], taps)
+    if use_fused:
+        return _wpe_fused(reverb, taps, delay, context, num_iters)
     taps_mat = compute_tap_mat(reverb, taps, delay)
 
     def step(dereverb, _):

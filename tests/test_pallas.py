@@ -612,3 +612,42 @@ def test_fused_online_short_and_chunk32(rng):
     out = np.asarray(mvdr_enhance_fused_online(
         wav, mask, cfg, chunk_size=32, alpha=0.8, interpret=True))
     assert out.shape == (B, S) and np.isfinite(out).all()
+
+
+def test_fused_wpe_matches_xla(rng):
+    """Tap-free fused WPE (gram + apply kernels, interpret) vs the XLA
+    scan path on random reverberant-ish input."""
+    import jax.numpy as jnp
+    from setk_tpu.enhance.wpe import wpe, _wpe_fused
+    b, f, n, t = 2, 12, 3, 64
+    obs = (rng.standard_normal((b, f, n, t)) +
+           1j * rng.standard_normal((b, f, n, t))).astype(np.complex64)
+    # mild reverberation: add a delayed copy so the filter has work
+    obs[..., 5:] += 0.4 * obs[..., :-5]
+    ref = np.asarray(wpe(jnp.asarray(obs), taps=4, delay=2, context=1,
+                         num_iters=3, use_fused=False))
+    got = np.asarray(_wpe_fused(jnp.asarray(obs), taps=4, delay=2,
+                                context=1, num_iters=3, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
+
+
+def test_fused_wpe_chirp_torture(rng):
+    """The pure-chirp near-singular case that NaN'd round-1 WPE without
+    the hermitianize pass — the fused gram must stay finite too."""
+    import jax.numpy as jnp
+    from setk_tpu.dsp.stft import StftConfig, forward_stft
+    from setk_tpu.enhance.wpe import _wpe_fused, wpe
+    sr = 16000
+    tt = np.arange(2 * sr) / sr
+    chirp = np.sin(2 * np.pi * (100 + 400 * tt) * tt).astype(np.float32)
+    wav = np.stack([chirp, np.roll(chirp, 7)])
+    cfg = StftConfig()
+    spec = np.asarray(forward_stft(jnp.asarray(wav), cfg))
+    obs = spec.transpose(2, 0, 1).astype(np.complex64)[:48]  # (F, N, T)
+    got = np.asarray(_wpe_fused(jnp.asarray(obs), taps=4, delay=2,
+                                context=1, num_iters=3, interpret=True))
+    assert np.isfinite(got).all()
+    ref = np.asarray(wpe(jnp.asarray(obs), taps=4, delay=2, context=1,
+                         num_iters=3, use_fused=False))
+    assert np.isfinite(ref).all()
