@@ -25,6 +25,11 @@ the chain is forced by a scalar reduction to host; compile excluded.
 
 vs_baseline compares against the reference's per-utterance NumPy path on
 this host's CPU (the reference publishes no numbers — BASELINE.md).
+
+ITERS = 24: the remote runtime's fixed per-call overhead VARIES with
+tunnel load (~2.5 ms measured 2026-08-17, ~25 ms on 2026-08-19); a
+24-step chain keeps it under ~12% of the reported number even on a bad
+day.
 """
 
 import json
@@ -35,7 +40,7 @@ import numpy as np
 
 B, N, SECS, SR = 128, 6, 8, 16000
 S = SECS * SR
-ITERS = 8
+ITERS = 24
 
 # reference CPU throughput (audio-seconds/s) measured on this host
 # (29.5 on 2026-08-17 under load, 87.8 on 2026-08-18 idle — the live
