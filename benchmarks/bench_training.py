@@ -73,11 +73,18 @@ def bench(arch, hidden=512, num_layers=3):
     print(f"{arch:>8} (h={hidden}, L={num_layers}): {dt*1e3:7.2f} ms/step"
           f"  ({1.0/dt:6.1f} steps/s, {audio_s/dt:9.0f} audio-s/s)",
           flush=True)
+    return {"ms_per_step": round(dt * 1e3, 2),
+            "steps_per_s": round(1.0 / dt, 1),
+            "audio_s_per_s": round(audio_s / dt, 1)}
 
 
 def main():
-    bench("dnn")
-    bench("blstm")
+    rows = {arch: bench(arch) for arch in ("dnn", "blstm")}
+    if len(sys.argv) > 1:  # optional JSON artifact path (per-round)
+        import json
+        with open(sys.argv[1], "w") as fd:
+            json.dump({"shape": {"B": B, "T": T, "F": F}, "rows": rows},
+                      fd, indent=1)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from setk_tpu.ops.pallas.lstm_seq import lstm_seq_bidir, lstm_seq_supported
+from setk_tpu.utils.hostdev import tpu_target
+
 __all__ = ["MaskNet", "make_model", "quadratic_loss"]
+
+# test hook: force the fused-sequence kernel path (interpret mode) on CPU
+_KERNEL_TEST_MODE = False
 
 
 def _shifted_frames(x, offsets):
@@ -77,40 +83,76 @@ class FastLSTM(nn.Module):
       * the recurrent matmul runs bf16 with f32 accumulation.
     Same math as the standard LSTM (and the nnet3 lstm layers the
     reference delegates to, /root/reference/steps/train_rnn_mask.sh).
+
+    On the TPU target the bidirectional recurrence runs as ONE fused
+    Pallas sequence kernel per pass (ops/pallas/lstm_seq.py: carries in
+    VMEM scratch across a grid=(T,) pipeline, hand-written BPTT) — the
+    XLA scan is latency-bound at ~17 us/sequential step and the kernel
+    removes ~4800 of those per training step at the bench shape.
     """
     hidden: int
     bidirectional: bool = False
     unroll: int = 16
+    time_major: bool = False  # x is (T, B, F); saves per-layer swaps
 
     @nn.compact
     def __call__(self, x):
-        b, t, _ = x.shape
+        b = x.shape[1] if self.time_major else x.shape[0]
         h4 = 4 * self.hidden
+        use_kernel = self.bidirectional and (
+            _KERNEL_TEST_MODE
+            or (lstm_seq_supported(b, self.hidden) and tpu_target()))
+        # on the fused-kernel path the projections compute in bf16 (f32
+        # params): XLA's f32 matmuls on TPU already run single-pass
+        # bf16, so this only drops the f32 activation traffic
+        cd = jnp.bfloat16 if use_kernel and not _KERNEL_TEST_MODE else None
         # time-parallel input projections (carry the biases)
-        xg_f = nn.Dense(h4, name="wx_f")(x)                   # (B, T, 4H)
+        xg_f = nn.Dense(h4, name="wx_f", dtype=cd)(x)
         wh_f = self.param("wh_f", nn.initializers.orthogonal(),
                           (self.hidden, h4))
         h0 = jnp.zeros((b, self.hidden), x.dtype)
+
+        def to_tmajor(a):
+            return a if self.time_major else jnp.swapaxes(a, 0, 1)
+
+        def from_tmajor(a):
+            return a if self.time_major else jnp.swapaxes(a, 0, 1)
+
         if not self.bidirectional:
             def step(carry, xg_t):
                 h, c = carry
                 h, c = _lstm_gates(xg_t + _rec_matmul(h, wh_f), c)
                 return (h, c), h
 
-            (_, _), ys = jax.lax.scan(step, (h0, h0),
-                                      jnp.swapaxes(xg_f, 0, 1),
+            (_, _), ys = jax.lax.scan(step, (h0, h0), to_tmajor(xg_f),
                                       unroll=self.unroll)
-            return jnp.swapaxes(ys, 0, 1)
+            return from_tmajor(ys)
 
-        xg_b = nn.Dense(h4, name="wx_b")(x)
+        xg_b = nn.Dense(h4, name="wx_b", dtype=cd)(x)
         wh_b = self.param("wh_b", nn.initializers.orthogonal(),
                           (self.hidden, h4))
+        if use_kernel:
+            if _KERNEL_TEST_MODE:
+                ys_f, ys_b = lstm_seq_bidir(to_tmajor(xg_f),
+                                            to_tmajor(xg_b),
+                                            wh_f, wh_b, interpret=True)
+            else:
+                # bf16 gates/weights with f32 carries — the same cast
+                # _rec_matmul applies on the scan path
+                ys_f, ys_b = lstm_seq_bidir(to_tmajor(xg_f),
+                                            to_tmajor(xg_b),
+                                            wh_f.astype(cd),
+                                            wh_b.astype(cd))
+            ys = jnp.concatenate([ys_f, ys_b], axis=-1).astype(x.dtype)
+            return from_tmajor(ys)
+
         # NEGATIVE RESULT (measured on chip, B=64 T=400 H=512): fusing
         # the two directions into one blockdiag (B, 2H) x (2H, 8H) dot
         # per step ran 100 ms/train-step vs 83 for this form — the 2x
         # wasted MACs beat the saved launch latency.  The recurrence is
         # irreducibly latency-bound at this batch (17 us/step forward
-        # against ~2 us of MXU math).
+        # against ~2 us of MXU math); the Pallas path above is how it
+        # actually gets fast.
 
         def step(carry, xs):
             hf, cf, hb, cb = carry
@@ -119,12 +161,11 @@ class FastLSTM(nn.Module):
             hb, cb = _lstm_gates(xb_t + _rec_matmul(hb, wh_b), cb)
             return (hf, cf, hb, cb), (hf, hb)
 
-        xs = (jnp.swapaxes(xg_f, 0, 1), jnp.flip(
-            jnp.swapaxes(xg_b, 0, 1), axis=0))
+        xs = (to_tmajor(xg_f), jnp.flip(to_tmajor(xg_b), axis=0))
         _, (ys_f, ys_b) = jax.lax.scan(step, (h0, h0, h0, h0), xs,
                                        unroll=self.unroll)
         ys = jnp.concatenate([ys_f, jnp.flip(ys_b, axis=0)], axis=-1)
-        return jnp.swapaxes(ys, 0, 1)
+        return from_tmajor(ys)
 
 
 class TdnnBlock(nn.Module):
@@ -174,9 +215,21 @@ class MaskNet(nn.Module):
             for i in range(self.num_layers):
                 x = TdnnBlock(self.hidden, dilation=2**i)(x)
         elif self.arch in ("lstm", "blstm"):
+            # one time-major conversion for the whole stack: every
+            # layer (scan or fused kernel) consumes and produces
+            # (T, B, ·), so the per-layer (B,T,4H) transposes vanish
+            x = jnp.swapaxes(x, 0, 1)
+            if (self.arch == "blstm" and not _KERNEL_TEST_MODE
+                    and tpu_target()
+                    and lstm_seq_supported(x.shape[1], self.hidden)):
+                # keep inter-layer activations bf16 on the kernel path
+                # (the output head below restores f32)
+                x = x.astype(jnp.bfloat16)
             for _ in range(self.num_layers):
                 x = FastLSTM(self.hidden,
-                             bidirectional=self.arch == "blstm")(x)
+                             bidirectional=self.arch == "blstm",
+                             time_major=True)(x)
+            x = jnp.swapaxes(x, 0, 1)
         else:
             raise ValueError(f"Unknown arch: {self.arch}")
         return nn.sigmoid(nn.Dense(self.num_bins)(x))
