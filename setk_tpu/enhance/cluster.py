@@ -106,7 +106,8 @@ def cgmm_em(obs: jax.Array,
             key: jax.Array | None = None,
             state: dict | None = None,
             return_state: bool = False,
-            frame_mask: jax.Array | None = None):
+            frame_mask: jax.Array | None = None,
+            use_fused: bool | None = None):
     """CGMM EM over obs (F, M, T) (leading batch axes allowed).
 
     Returns (gamma (K, F, T), q_history (num_iters,)) — plus the model
@@ -159,6 +160,23 @@ def cgmm_em(obs: jax.Array,
     phi = _cgmm_quad(obs, r_inv) / m
     alpha = jnp.full((num_classes, *batch, f), 1.0 / num_classes)
     gamma, _ = _cgmm_predict(obs, phi, covar, alpha)
+    # TPU: the whole EM loop runs inside ONE Pallas kernel, same
+    # machinery as the fused CACGMM (ops/pallas/cacgmm_em.py, model
+    # switch "cg"); state resume stays on the XLA path (the kernel
+    # re-initializes alpha to the uniform prior).
+    if use_fused is None:
+        from setk_tpu.utils.hostdev import tpu_target
+        use_fused = tpu_target()
+    if use_fused:
+        from setk_tpu.ops.pallas.cacgmm_em import (cgmm_em_pallas,
+                                                   cacgmm_fused_supported)
+        if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
+            gamma = jnp.broadcast_to(gamma, (num_classes, *batch, f, t))
+            phi = jnp.broadcast_to(phi, (num_classes, *batch, f, t))
+            return cgmm_em_pallas(obs, gamma, phi, num_iters,
+                                  update_alpha=update_alpha,
+                                  frame_mask=fm,
+                                  return_state=return_state)
     return _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters,
                       update_alpha, return_state, frame_mask=frame_mask)
 

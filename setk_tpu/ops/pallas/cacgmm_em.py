@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: the ENTIRE CACGMM EM loop fused in VMEM.
+"""Pallas TPU kernel: the ENTIRE CGMM / CACGMM EM loop fused in VMEM.
 
 The XLA EM (enhance/cluster.cacgmm_em) runs each iteration as a
 lax.scan step of separate covariance / Jacobi-inverse / quadratic /
@@ -21,11 +21,20 @@ resident in VMEM while a fori_loop runs ALL EM iterations in-kernel:
     log_pdf   = -m log(quad) - logdet ; posterior softmax over k
     q[i]     += per-block partial of the masked log-marginal mean
 
+The same kernel serves BOTH mixture models through a static ``model``
+switch — the carried per-class plane is the CACG quadratic kernel
+z^H B^{-1} z or the CG time-varying power phi = z^H R^{-1} z / M; the
+M-step weight (gamma / carried) * (M / den) and the log-pdf
+-M log(carried) - logdet are literally the same expression in both
+(CGMM obs are the raw unnormalized spectra; CACGMM obs are
+L2-normalized by the caller).
+
 Math parity: /root/reference/scripts/sptk/libs/cluster.py:469-535 (the
-Ito CACGMM trainer), identical update order to the XLA path; validated
-against it by tests/test_pallas.py (interpret mode) and the on-chip
-golden runs.  Only the observations are read from HBM (once), only the
-final responsibilities/state and the Q history are written back.
+Ito CACGMM trainer) and :184-287 (the Higuchi CGMM distribution),
+identical update order to the XLA path; validated against it by
+tests/test_pallas.py (interpret mode) and the on-chip golden runs.
+Only the observations are read from HBM (once), only the final
+responsibilities/state and the Q history are written back.
 """
 
 from functools import partial
@@ -37,7 +46,7 @@ import numpy as np
 from setk_tpu.utils.common import EPSILON
 from setk_tpu.ops.pallas.eigh_small import jacobi_regularized_inverse
 
-__all__ = ["cacgmm_em_pallas", "cacgmm_fused_supported"]
+__all__ = ["cacgmm_em_pallas", "cgmm_em_pallas", "cacgmm_fused_supported"]
 
 _ROWS = 8
 _LANES = 128
@@ -48,14 +57,14 @@ _SWEEPS = 6
 _VMEM_BUDGET = 64 * 1024 * 1024
 
 
-def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps,
+def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
                zre_ref, zim_ref, g0_ref, k0_ref, fm_ref,
-               gamma_ref, q_ref, cre_ref, cim_ref, alpha_ref):
+               gamma_ref, kern_ref, q_ref, cre_ref, cim_ref, alpha_ref):
     """One grid step = 1024 bins, all EM iterations.
 
     Ref shapes (leading block axis dropped by the BlockSpecs):
       zre/zim: (M, T, 8, 128)   g0/k0: (K, T, 8, 128)   fm: (T, 8, 128)
-      gamma:   (K, T, 8, 128)   q: (num_iters, 8, 128)
+      gamma/kern: (K, T, 8, 128)   q: (num_iters, 8, 128)
       cre/cim: (K, M*M, 8, 128) alpha: (K, 8, 128)
     """
     shape = (_ROWS, _LANES)
@@ -116,7 +125,13 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps,
                     # 2 Re(conj(z_i) B_ij z_j) = 2 (Bre P_re - Bim P_im)
                     qd = qd + 2.0 * (b_inv_re[i][j] * p_re -
                                      b_inv_im[i][j] * p_im)
-            quad[k] = jnp.maximum(qd, EPSILON)
+            if model == "cg":
+                # CGMM: the carried plane is phi = quad / M (time-varying
+                # class power, /root/reference/scripts/sptk/libs/
+                # cluster.py:184-235)
+                quad[k] = jnp.maximum(qd, EPSILON) * (1.0 / m)
+            else:
+                quad[k] = jnp.maximum(qd, EPSILON)
             log_pdf[k] = -m * jnp.log(quad[k]) - logdet[None]
         # posterior with the max-shifted logsumexp Q statistic
         mx = log_pdf[0]
@@ -143,17 +158,19 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps,
     kernel0 = tuple(k0_ref[0, k] for k in range(k_classes))
     alpha0 = tuple(jnp.full(shape, 1.0 / k_classes, jnp.float32)
                    for _ in range(k_classes))
-    gamma, _, alpha = jax.lax.fori_loop(
+    gamma, kernel, alpha = jax.lax.fori_loop(
         0, num_iters, iteration, (gamma0, kernel0, alpha0))
     for k in range(k_classes):
         gamma_ref[0, k] = gamma[k]
+        kern_ref[0, k] = kernel[k]
         alpha_ref[0, k] = alpha[k]
 
 
 @partial(jax.jit, static_argnames=("m", "k_classes", "num_iters",
-                                   "update_alpha", "sweeps", "interpret"))
+                                   "update_alpha", "sweeps", "model",
+                                   "interpret"))
 def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
-               update_alpha, sweeps, interpret):
+               update_alpha, sweeps, model, interpret):
     """Blocked entry: all arrays carry a leading (nb,) block axis."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -164,7 +181,7 @@ def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_em_kernel, m, k_classes, num_iters, update_alpha,
-                     sweeps)
+                     sweeps, model)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -173,11 +190,14 @@ def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
                   spec(k_classes, t, _ROWS, _LANES),
                   spec(t, _ROWS, _LANES)],
         out_specs=[spec(k_classes, t, _ROWS, _LANES),
+                   spec(k_classes, t, _ROWS, _LANES),
                    spec(num_iters, _ROWS, _LANES),
                    spec(k_classes, m * m, _ROWS, _LANES),
                    spec(k_classes, m * m, _ROWS, _LANES),
                    spec(k_classes, _ROWS, _LANES)],
         out_shape=[
+            jax.ShapeDtypeStruct((nb, k_classes, t, _ROWS, _LANES),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((nb, k_classes, t, _ROWS, _LANES),
                                  jnp.float32),
             jax.ShapeDtypeStruct((nb, num_iters, _ROWS, _LANES),
@@ -201,8 +221,9 @@ def cacgmm_fused_supported(shape, num_classes: int,
     *batch, f, m, t = shape
     if m > 8 or num_classes > 4 or num_iters > 64:
         return False
-    # resident block arrays: z (2m), gamma/kernel in+out (4K+... ), fm
-    per_bin = 4 * t * (2 * m + 4 * num_classes + 1)
+    # resident block arrays: z (2m), gamma/kernel in (2K) + gamma/kern
+    # out (2K) + loop-carried copies (~K), fm
+    per_bin = 4 * t * (2 * m + 5 * num_classes + 1)
     return per_bin * _TILE <= _VMEM_BUDGET
 
 
@@ -224,21 +245,12 @@ def _to_bins(arr, lead_shape, t):
     return jnp.transpose(tiled, perm)
 
 
-def cacgmm_em_pallas(obs: jax.Array,
-                     gamma0: jax.Array,
-                     kernel0: jax.Array,
-                     num_iters: int,
-                     update_alpha: bool = True,
-                     frame_mask: jax.Array | None = None,
-                     return_state: bool = False,
-                     sweeps: int = _SWEEPS,
-                     interpret: bool = False):
-    """Fused CACGMM EM: obs (..., F, M, T) L2-normalized observations,
-    gamma0/kernel0 (K, ..., F, T) initial responsibilities/kernels.
+def _em_pallas(obs, gamma0, kernel0, num_iters, model, update_alpha,
+               frame_mask, return_state, sweeps, interpret):
+    """Shared fused-EM driver for both mixture models.
 
-    Returns (gamma (K, ..., F, T), q_hist (num_iters,)) and the state
-    dict when ``return_state``; drop-in for the scan in
-    enhance/cluster.cacgmm_em.
+    obs (..., F, M, T), gamma0/kernel0 (K, ..., F, T); ``kernel0`` is the
+    CACG quadratic kernel or the CG phi, per ``model``.
     """
     *lead, f, m, t = obs.shape
     k_classes = gamma0.shape[0]
@@ -260,10 +272,10 @@ def cacgmm_em_pallas(obs: jax.Array,
     k0b = _to_bins(k_in, lead_f, t)
     fmb = _to_bins(fm_full, lead_f, t)
 
-    gamma_b, q_b, cre_b, cim_b, alpha_b = _em_blocks(
+    gamma_b, kern_b, q_b, cre_b, cim_b, alpha_b = _em_blocks(
         zre, zim, g0b, k0b, fmb, m=m, k_classes=k_classes,
         num_iters=num_iters, update_alpha=update_alpha, sweeps=sweeps,
-        interpret=interpret)
+        model=model, interpret=interpret)
 
     def from_bins(blocked, inner):
         # (nb, inner..., 8, 128) -> (nbins, inner...)
@@ -281,5 +293,49 @@ def cacgmm_em_pallas(obs: jax.Array,
              1j * from_bins(cim_b, (k_classes, m * m)))
     covar = jnp.moveaxis(covar, -2, 0).reshape(k_classes, *lead_f, m, m)
     alpha = jnp.moveaxis(from_bins(alpha_b, (k_classes,)), -1, 0)
-    return gamma, q_hist, {"covar": covar.astype(obs.dtype),
-                           "alpha": alpha}
+    state = {"covar": covar.astype(obs.dtype), "alpha": alpha}
+    if model == "cg":
+        state["phi"] = jnp.moveaxis(from_bins(kern_b, (k_classes, t)),
+                                    -2, 0)
+    return gamma, q_hist, state
+
+
+def cacgmm_em_pallas(obs: jax.Array,
+                     gamma0: jax.Array,
+                     kernel0: jax.Array,
+                     num_iters: int,
+                     update_alpha: bool = True,
+                     frame_mask: jax.Array | None = None,
+                     return_state: bool = False,
+                     sweeps: int = _SWEEPS,
+                     interpret: bool = False):
+    """Fused CACGMM EM: obs (..., F, M, T) L2-normalized observations,
+    gamma0/kernel0 (K, ..., F, T) initial responsibilities/kernels.
+
+    Returns (gamma (K, ..., F, T), q_hist (num_iters,)) and the state
+    dict when ``return_state``; drop-in for the scan in
+    enhance/cluster.cacgmm_em.
+    """
+    return _em_pallas(obs, gamma0, kernel0, num_iters, "cacg",
+                      update_alpha, frame_mask, return_state, sweeps,
+                      interpret)
+
+
+def cgmm_em_pallas(obs: jax.Array,
+                   gamma0: jax.Array,
+                   phi0: jax.Array,
+                   num_iters: int,
+                   update_alpha: bool = False,
+                   frame_mask: jax.Array | None = None,
+                   return_state: bool = False,
+                   sweeps: int = _SWEEPS,
+                   interpret: bool = False):
+    """Fused CGMM EM: obs (..., F, M, T) RAW (unnormalized) spectra,
+    gamma0/phi0 (K, ..., F, T) initial responsibilities / class powers
+    (the caller computes them from the covariance init exactly as the
+    XLA path does).  Drop-in for the scan in enhance/cluster.cgmm_em;
+    the state dict gains the final "phi" plane.
+    """
+    return _em_pallas(obs, gamma0, phi0, num_iters, "cg",
+                      update_alpha, frame_mask, return_state, sweeps,
+                      interpret)

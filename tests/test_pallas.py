@@ -651,3 +651,70 @@ def test_fused_wpe_chirp_torture(rng):
     ref = np.asarray(wpe(jnp.asarray(obs), taps=4, delay=2, context=1,
                          num_iters=3, use_fused=False))
     assert np.isfinite(ref).all()
+
+
+def test_fused_cgmm_em_matches_xla(rng):
+    """The model="cg" in-kernel EM loop (interpret mode) reproduces the
+    XLA CGMM scan: gamma, Q history and the resumable state, from the
+    SAME Higuchi K=2 init the driver computes."""
+    import jax.numpy as jnp
+    from setk_tpu.enhance.cluster import (cgmm_em, _cgmm_predict,
+                                          _cgmm_quad)
+    from setk_tpu.ops.linalg import regularized_inverse
+    from setk_tpu.ops.pallas.cacgmm_em import cgmm_em_pallas
+    b, f, m, t, k, iters = 2, 24, 3, 16, 2, 4
+    obs = (rng.standard_normal((b, f, m, t)) +
+           1j * rng.standard_normal((b, f, m, t))).astype(np.complex64)
+    # give class 0 structure so the EM separates something
+    obs[:, :, 1:, :] += 0.5 * obs[:, :, :1, :]
+    ref_g, ref_q, ref_state = cgmm_em(obs, k, num_iters=iters,
+                                      return_state=True, use_fused=False)
+    # replicate the Higuchi K=2 init of cgmm_em's fresh path
+    obs_j = jnp.asarray(obs)
+    rs = jnp.einsum("...xt,...yt->...xy", obs_j, jnp.conj(obs_j)) / t
+    rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
+    covar = jnp.stack([rs, rn])
+    phi = _cgmm_quad(obs_j, regularized_inverse(covar)) / m
+    alpha = jnp.full((k, b, f), 1.0 / k)
+    gamma, _ = _cgmm_predict(obs_j, phi, covar, alpha)
+    got_g, got_q, got_state = cgmm_em_pallas(
+        obs_j, gamma, phi, iters, return_state=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_state["phi"]),
+                               np.asarray(ref_state["phi"]),
+                               rtol=5e-3, atol=1e-4)
+    ref_c = np.asarray(ref_state["covar"])
+    np.testing.assert_allclose(np.asarray(got_state["covar"]), ref_c,
+                               atol=2e-2 * np.abs(ref_c).max(), rtol=2e-2)
+
+
+def test_fused_cgmm_em_frame_mask_and_dispatch(rng):
+    """Frame-masked fused CGMM == XLA CGMM with the same mask, driven
+    through the cgmm_em(use_fused=...) dispatch path itself (interpret
+    monkey-patched in)."""
+    import jax.numpy as jnp
+    from functools import partial as _partial
+    import setk_tpu.ops.pallas.cacgmm_em as fused_mod
+    from setk_tpu.enhance.cluster import cgmm_em
+    b, f, m, t, k, iters = 1, 16, 3, 20, 2, 3
+    obs = (rng.standard_normal((b, f, m, t)) +
+           1j * rng.standard_normal((b, f, m, t))).astype(np.complex64)
+    obs[..., 14:] = 1e-6  # padded tail
+    fm = np.zeros((b, 1, t), np.float32)
+    fm[..., :14] = 1.0
+    ref_g, ref_q = cgmm_em(obs, k, num_iters=iters, frame_mask=fm,
+                           use_fused=False)
+    orig = fused_mod.cgmm_em_pallas
+    fused_mod.cgmm_em_pallas = _partial(orig, interpret=True)
+    try:
+        got_g, got_q = cgmm_em(obs, k, num_iters=iters, frame_mask=fm,
+                               use_fused=True)
+    finally:
+        fused_mod.cgmm_em_pallas = orig
+    np.testing.assert_allclose(np.asarray(got_g)[..., :14],
+                               np.asarray(ref_g)[..., :14], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=2e-3, atol=1e-3)
