@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from setk_tpu.utils.common import EPSILON, GRAM_PRECISION
 from setk_tpu.enhance import beamformer as bf
 from setk_tpu.enhance.cluster import cgmm_em
-from setk_tpu.ops.linalg import solve_pevd, hermitian_solve
+from setk_tpu.ops.linalg import (solve_pevd, hermitian_solve,
+                                 equilibrated_hermitian_solve)
 
 __all__ = ["compute_tap_mat", "compute_lambda", "wpe_step", "wpe", "wpd"]
 
@@ -59,7 +60,7 @@ def compute_lambda(dereverb: jax.Array, context: int = 0) -> jax.Array:
 
 
 def wpe_step(reverb: jax.Array, taps_mat: jax.Array,
-             lambda_: jax.Array) -> jax.Array:
+             lambda_: jax.Array, equilibrate: bool = False) -> jax.Array:
     """One WPE filter update + application.
 
     reverb (..., F, N, T), taps_mat (..., F, NK, T), lambda (..., F, T);
@@ -86,7 +87,13 @@ def wpe_step(reverb: jax.Array, taps_mat: jax.Array,
     # iteration 3 (raising eps_rel to 1e-5 also fixes it, but perturbs
     # the near-singular tonal solves enough to decorrelate the batched
     # vs single CLI paths).
-    filt = hermitian_solve(corr, cross)
+    # ``equilibrate`` (the WPD path): symmetric Jacobi scaling before the
+    # solve — WPD's 1/|enhanced|^2 weights push the Gram's f32 condition
+    # past Cholesky even with loading (ops/linalg.
+    # equilibrated_hermitian_solve).  Plain WPE keeps the bare solve for
+    # strict batched-vs-single parity.
+    solve = equilibrated_hermitian_solve if equilibrate else hermitian_solve
+    filt = solve(corr, cross)
     return reverb - jnp.einsum("...na,...nb->...ab", jnp.conj(filt),
                                taps_mat, precision=GRAM_PRECISION)
 
@@ -152,23 +159,66 @@ def wpe(reverb: jax.Array,
     return dereverb
 
 
+def _wpd_wpe_step_fused(obs_re, obs_im, lam_flat, n, taps, delay,
+                        interpret=False):
+    """WPD's WPE step with EXTERNAL lambda through the tap-free fused
+    kernels: gram (weights = the supplied lambda, no in-kernel dereverb
+    power) -> lane-batched Cholesky solve -> apply."""
+    from setk_tpu.ops.pallas.wpe_gram import (wpe_apply_pallas,
+                                              wpe_gram_pallas)
+    bins, _, t = obs_re.shape
+    cols = (taps + 1) * n
+    nk = n * taps
+    g0 = jnp.zeros((bins, nk, n), jnp.float32)
+    gr, gi = wpe_gram_pallas(obs_re, obs_im, g0, g0, n=n, taps=taps,
+                             delay=delay, context=0, use_g=False,
+                             lam=lam_flat, interpret=interpret)
+    gram = (gr + 1j * gi)[:, :cols, :cols]
+    # the kernel's 3-pass bf16 Gram carries ~4e-6 per-entry relative
+    # error (the two-term bf16 split limit; measured equilibrated
+    # min-eig -1.2e-4 at cols=66 vs -1.1e-6 for the f32 XLA Gram), so
+    # the equilibrated loading floor scales to N * 8e-6
+    filt = equilibrated_hermitian_solve(gram[:, n:, n:], gram[:, n:, :n],
+                                        eps_rel=8e-6 * (cols - n))
+    dr, di = wpe_apply_pallas(obs_re, obs_im,
+                              jnp.real(filt).astype(jnp.float32),
+                              jnp.imag(filt).astype(jnp.float32),
+                              n=n, taps=taps, delay=delay,
+                              interpret=interpret)
+    return (dr + 1j * di)[:, :n]
+
+
 def wpd(obs: jax.Array,
         cgmm_iters: int = 10,
         wpd_iters: int = 3,
         taps: int = 10,
         delay: int = 3,
         context: int = 1,
-        update_alpha: bool = False):
+        update_alpha: bool = False,
+        use_fused: bool | None = None,
+        interpret: bool = False):
     """Factored WPD: joint dereverberation + denoising.
 
-    obs (F, N, T) complex.  Each outer iteration: WPE step with the
-    current lambda, CGMM mask estimation on the dereverberated signal,
-    then a lambda-weighted MVDR; lambda becomes the enhanced power.
-    Returns (tf_mask (F, T), enhanced (F, T)).
+    obs (F, N, T) complex (leading batch axes allowed).  Each outer
+    iteration: WPE step with the current lambda, CGMM mask estimation on
+    the dereverberated signal, then a lambda-weighted MVDR; lambda
+    becomes the enhanced power.  Returns (tf_mask (F, T), enhanced
+    (F, T)).  On the TPU target the WPE step runs through the tap-free
+    fused kernels with the WPD lambda as an operand, the inner CGMM
+    through the fused in-VMEM EM kernel, and the weighted covariances
+    through the Pallas covariance kernel.
     Parity: /root/reference/scripts/sptk/libs/wpe.py:113-177.
     """
-    taps_mat = compute_tap_mat(obs, taps, delay)
-    t = obs.shape[-1]
+    *lead, f, n, t = obs.shape
+    if use_fused is None:
+        from setk_tpu.utils.hostdev import tpu_target
+        from setk_tpu.ops.pallas.wpe_gram import wpe_fused_supported
+        use_fused = tpu_target() and wpe_fused_supported(n, taps)
+    if use_fused:
+        obs_re = jnp.real(obs).reshape(-1, n, t).astype(jnp.float32)
+        obs_im = jnp.imag(obs).reshape(-1, n, t).astype(jnp.float32)
+    else:
+        taps_mat = compute_tap_mat(obs, taps, delay)
     enhanced = None
     tf_mask = None
     for i in range(wpd_iters):  # static outer loop (small)
@@ -177,15 +227,25 @@ def wpd(obs: jax.Array,
                               EPSILON)
         else:
             lam = jnp.maximum(jnp.abs(enhanced)**2, EPSILON)
-        der = wpe_step(obs, taps_mat, lam)
+        if use_fused:
+            der = _wpd_wpe_step_fused(
+                obs_re, obs_im, lam.reshape(-1, t).astype(jnp.float32),
+                n, taps, delay, interpret=interpret).reshape(obs.shape)
+        else:
+            der = wpe_step(obs, taps_mat, lam, equilibrate=True)
         gamma, _ = cgmm_em(der, 2, num_iters=cgmm_iters,
                            update_alpha=update_alpha)
         tf_mask = gamma[0]  # speech class (sample-covariance init)
-        rd = jnp.einsum("...nt,...mt->...nm", der / lam[..., None, :],
-                        jnp.conj(der), precision=GRAM_PRECISION) / t
+        if use_fused:
+            # Pallas covariance kernel; the einsum below is its XLA twin
+            rd_num, _ = bf.covar_stats(der, 1.0 / lam)
+            rd = rd_num / t
+        else:
+            rd = jnp.einsum("...nt,...mt->...nm", der / lam[..., None, :],
+                            jnp.conj(der), precision=GRAM_PRECISION) / t
         rs = bf.compute_covar(der, tf_mask)
         steer = bf.fix_steer_phase(solve_pevd(rs))
-        num = hermitian_solve(rd, steer)
+        num = equilibrated_hermitian_solve(rd, steer)
         den = jnp.einsum("...d,...d->...", jnp.conj(steer), num)
         weight = num / den[..., None]
         enhanced = jnp.einsum("...n,...nt->...t", jnp.conj(weight), der)

@@ -20,7 +20,8 @@ from setk_tpu.utils.common import EPSILON
 
 __all__ = [
     "hermitianize", "eigh", "principal_eigvec", "solve_pevd",
-    "generalized_eigh", "regularized_inverse", "power_iteration"
+    "generalized_eigh", "regularized_inverse", "power_iteration",
+    "equilibrated_hermitian_solve"
 ]
 
 def eigh(mat: jax.Array):
@@ -130,6 +131,37 @@ def hermitian_solve(a: jax.Array, b: jax.Array,
     y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
     x = jax.scipy.linalg.solve_triangular(
         jnp.conj(jnp.swapaxes(chol, -1, -2)), y, lower=False)
+    return x[..., 0] if vec else x
+
+
+def equilibrated_hermitian_solve(a: jax.Array, b: jax.Array,
+                                 eps_rel: float = 1e-6) -> jax.Array:
+    """``hermitian_solve`` after symmetric Jacobi equilibration.
+
+    WPD's lambda-weighted Grams (enhance/wpe.wpd) carry a 1/lambda
+    dynamic range of up to ~1/EPSILON ~ 8e6 across rows when the
+    enhanced power hits its floor on silent frames; their f32 Cholesky
+    condition exceeds representable precision and NaNs even under
+    diagonal loading (the float64 per-utterance reference,
+    /root/reference/scripts/sptk/libs/wpe.py:146-177, never sees this).
+    Scaling A -> D A D with D = diag(A)^{-1/2} is EXACT math (the
+    solution is unscaled afterwards) and restores a unit diagonal, so
+    the relative diag loading inside ``hermitian_solve`` acts per-row.
+    All-zero rows (bucketed zero padding) keep scale 1 and solve to ~0.
+
+    The loading floor self-scales with the system size: f32 rounding of
+    an N-row Gram perturbs the equilibrated spectrum by O(N * eps)
+    (measured -1.2e-6 at N=60 on a WPD torture input, NaN under a flat
+    1e-6 load), so eps_rel is clamped to >= 4 * N * f32_eps.
+    """
+    vec = b.ndim == a.ndim - 1
+    rhs = b[..., None] if vec else b
+    eps_rel = max(eps_rel, 4.0 * a.shape[-1] * float(EPSILON))
+    diag = jnp.abs(jnp.diagonal(a, axis1=-2, axis2=-1))
+    d = jnp.where(diag > 0, jax.lax.rsqrt(jnp.maximum(diag, 1e-30)), 1.0)
+    a2 = a * d[..., :, None] * d[..., None, :]
+    x2 = hermitian_solve(a2, rhs * d[..., :, None], eps_rel=eps_rel)
+    x = x2 * d[..., :, None]
     return x[..., 0] if vec else x
 
 

@@ -114,9 +114,9 @@ def _lambda_weights(d_re, d_im, n, context, t):
     return jax.lax.rsqrt(jnp.maximum(power, EPSILON))
 
 
-def _wpe_gram_kernel(n, taps, delay, context, use_g, obs_re_ref,
-                     obs_im_ref, g_re_ref, g_im_ref, gram_re_ref,
-                     gram_im_ref):
+def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
+                     obs_re_ref, obs_im_ref, g_re_ref, g_im_ref, lam_ref,
+                     gram_re_ref, gram_im_ref):
     t = obs_re_ref.shape[-1]
     cols = (taps + 1) * n
     dot_nt = partial(jax.lax.dot_general,
@@ -127,16 +127,23 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, obs_re_ref,
     for b_i in range(_BPB):
         a_re, a_im = _design_rows(obs_re_ref, obs_im_ref, b_i, n, taps,
                                   delay, t)
-        if use_g:
-            d_re, d_im = _dereverb(a_re, a_im, g_re_ref, g_im_ref, b_i,
-                                   n, taps, t)
+        if ext_lambda:
+            # WPD: the power weights come from the enhanced output of
+            # the previous outer iteration, supplied as an operand
+            sw = jax.lax.rsqrt(jnp.maximum(lam_ref[b_i][None], EPSILON))
         else:
-            # first iteration: d = the observations themselves
-            d_re = jnp.concatenate(
-                a_re[:n] + [jnp.zeros((8 - n, t), jnp.float32)], axis=0)
-            d_im = jnp.concatenate(
-                a_im[:n] + [jnp.zeros((8 - n, t), jnp.float32)], axis=0)
-        sw = _lambda_weights(d_re, d_im, n, context, t)
+            if use_g:
+                d_re, d_im = _dereverb(a_re, a_im, g_re_ref, g_im_ref,
+                                       b_i, n, taps, t)
+            else:
+                # first iteration: d = the observations themselves
+                d_re = jnp.concatenate(
+                    a_re[:n] + [jnp.zeros((8 - n, t), jnp.float32)],
+                    axis=0)
+                d_im = jnp.concatenate(
+                    a_im[:n] + [jnp.zeros((8 - n, t), jnp.float32)],
+                    axis=0)
+            sw = _lambda_weights(d_re, d_im, n, context, t)
 
         aw_re = jnp.concatenate(a_re, axis=0) * sw    # (cols, T)
         aw_im = jnp.concatenate(a_im, axis=0) * sw
@@ -186,37 +193,49 @@ def _prep(obs_re, obs_im, g_re, g_im, n, taps):
 @partial(jax.jit, static_argnames=("n", "taps", "delay", "context",
                                    "use_g", "interpret"))
 def wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay, context,
-                    use_g=True, interpret=False):
+                    use_g=True, lam=None, interpret=False):
     """Weighted [current | taps] Gram per bin.
 
     obs planar (BINS, N, T); g planar (BINS, N*taps, N) (ignored when
-    ``use_g`` is False — first iteration).  Returns gram planes
+    ``use_g`` is False — first iteration).  ``lam`` (BINS, T) supplies
+    EXTERNAL power weights (the WPD path, where lambda is the enhanced
+    output power of the previous outer iteration) instead of the
+    in-kernel context-smoothed dereverb power.  Returns gram planes
     (BINS, 72, 72) f32 with the valid (taps+1)*N block at [:cols, :cols]
     (row/col order [current | taps], matching enhance.wpe.wpe_step's y2).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    ext_lambda = lam is not None
+    if lam is None:
+        lam = jnp.ones((obs_re.shape[0], obs_re.shape[-1]), jnp.float32)
     obs_re, obs_im, g_re, g_im, bins = _prep(obs_re, obs_im, g_re, g_im,
                                              n, taps)
     binsp, _, t = obs_re.shape
+    if binsp != lam.shape[0]:
+        lam = jnp.pad(lam, ((0, binsp - lam.shape[0]), (0, 0)),
+                      constant_values=1.0)
     nk = n * taps
     obs_spec = pl.BlockSpec((_BPB, n, t), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((_BPB, nk, n), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    lam_spec = pl.BlockSpec((_BPB, t), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((_BPB, _GROWS, _GROWS), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     gr, gi = pl.pallas_call(
-        partial(_wpe_gram_kernel, n, taps, delay, context, use_g),
+        partial(_wpe_gram_kernel, n, taps, delay, context, use_g,
+                ext_lambda),
         grid=(binsp // _BPB,),
-        in_specs=[obs_spec, obs_spec, g_spec, g_spec],
+        in_specs=[obs_spec, obs_spec, g_spec, g_spec, lam_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((binsp, _GROWS, _GROWS),
                                         jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(obs_re, obs_im, g_re, g_im)
+    )(obs_re, obs_im, g_re, g_im, lam)
     return gr[:bins], gi[:bins]
 
 

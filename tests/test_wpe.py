@@ -85,3 +85,35 @@ def test_wpd_runs_and_enhances(rng):
     assert np.isfinite(np.asarray(enh)).all()
     m = np.asarray(mask)
     assert (m >= 0).all() and (m <= 1 + 1e-5).all()
+
+
+def test_wpd_fused_matches_xla(rng):
+    """The tap-free fused WPD WPE-step (external lambda operand,
+    interpret mode) + Pallas covariance path reproduces the XLA WPD.
+    The inner CGMM auto-dispatches to XLA on CPU, so the comparison
+    isolates the WPE/covariance kernels."""
+    obs = _reverb_obs(rng, f=8, n=3, t=64).astype(np.complex64)
+    ref_m, ref_e = wpd(obs, cgmm_iters=3, wpd_iters=2, taps=4, delay=2,
+                       use_fused=False)
+    got_m, got_e = wpd(obs, cgmm_iters=3, wpd_iters=2, taps=4, delay=2,
+                       use_fused=True, interpret=True)
+    scale = np.abs(np.asarray(ref_e)).max()
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
+                               atol=3e-3 * scale)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
+                               atol=5e-3)
+
+
+def test_wpd_batched_matches_single(rng):
+    """Leading batch axis: batched WPD == per-utterance WPD."""
+    import jax.numpy as jnp
+    obs = np.stack([_reverb_obs(rng, f=8, n=3, t=48).astype(np.complex64)
+                    for _ in range(2)])
+    bm, be = wpd(jnp.asarray(obs), cgmm_iters=2, wpd_iters=2, taps=3,
+                 delay=2, use_fused=False)
+    for b in range(2):
+        sm, se = wpd(jnp.asarray(obs[b]), cgmm_iters=2, wpd_iters=2,
+                     taps=3, delay=2, use_fused=False)
+        scale = np.abs(np.asarray(se)).max()
+        np.testing.assert_allclose(np.asarray(be)[b], np.asarray(se),
+                                   atol=1e-4 * scale)
