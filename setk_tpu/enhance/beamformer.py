@@ -29,7 +29,8 @@ __all__ = [
     "compute_covar", "compute_covar_pair", "covar_stats",
     "do_ban", "beamform", "beam_pattern", "rank1_constraint",
     "ds_weights", "sd_weights", "mvdr_weights", "mpdr_weights", "gevd_weights",
-    "pmwf_weights", "pmwf_select_ref", "supervised_run",
+    "pmwf_weights", "pmwf_select_ref", "pmwf_select_powers",
+    "supervised_run",
     "online_supervised_run", "WEIGHT_FNS"
 ]
 
@@ -321,6 +322,21 @@ def pmwf_select_ref(weight_mat: jax.Array, rs: jax.Array, rn: jax.Array,
     pow_n = jnp.real(
         jnp.einsum("...fca,...fab,...fcb->...c", jnp.conj(wc), rn, wc))
     snr = pow_s / jnp.maximum(pow_n, EPSILON)
+    ref = jnp.argmax(snr, axis=-1)
+    return jnp.take_along_axis(weight_mat,
+                               ref[..., None, None, None],
+                               axis=-1)[..., 0]
+
+
+def pmwf_select_powers(weight_mat: jax.Array, pow_s: jax.Array,
+                       pow_n: jax.Array) -> jax.Array:
+    """SNR-argmax reference-channel selection from PRECOMPUTED
+    per-channel powers (..., F, C) — the in-kernel outputs of
+    ``pmwf_solve_pallas(return_powers=True)``.  Same semantics as
+    ``pmwf_select_ref`` with ref_channel=-1, without its two tiny-N
+    einsums (which lower to MXU-hostile batched matmuls)."""
+    snr = (jnp.sum(pow_s, axis=-2) /
+           jnp.maximum(jnp.sum(pow_n, axis=-2), EPSILON))
     ref = jnp.argmax(snr, axis=-1)
     return jnp.take_along_axis(weight_mat,
                                ref[..., None, None, None],

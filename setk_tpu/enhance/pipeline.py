@@ -171,10 +171,10 @@ def enhance_fused(wav: jax.Array,
                                    interpret=interpret)
         elif beamformer in ("pmwf-0", "pmwf-1"):
             from setk_tpu.ops.pallas.mvdr import pmwf_solve_pallas
-            wm = pmwf_solve_pallas(
+            wm, ps, pn = pmwf_solve_pallas(
                 rs, rn, beta=0.0 if beamformer == "pmwf-0" else 1.0,
-                interpret=interpret)
-            wt = bf.pmwf_select_ref(wm, rs, rn)
+                return_powers=True, interpret=interpret)
+            wt = bf.pmwf_select_powers(wm, ps, pn)
         else:
             raise ValueError(f"Unsupported fused beamformer: {beamformer}")
     if ban:

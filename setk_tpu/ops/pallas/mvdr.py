@@ -289,13 +289,16 @@ def _capon_kernel(n, eps_rel, d_re_ref, d_im_ref, r_re_ref, r_im_ref,
         w_im_ref[i, 0] = w_i * inv_den
 
 
-def _pmwf_kernel(n, beta, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
-                 rn_im_ref, w_re_ref, w_im_ref):
+def _pmwf_kernel(n, beta, eps_rel, with_powers, rs_re_ref, rs_im_ref,
+                 rn_re_ref, rn_im_ref, w_re_ref, w_im_ref, *pow_refs):
     """PMWF weight matrix per lane-bin: W = Rn^{-1} Rs / (beta + trace).
 
-    Emits the full (N, N) weight matrix (entry-major); the SNR-based
-    reference-channel selection happens in XLA on the small result
-    (enhance.beamformer.pmwf_weights semantics)."""
+    Emits the full (N, N) weight matrix (entry-major).  With
+    ``with_powers`` it also emits the per-channel SNR-selection powers
+    ps_c = Re(w_c^H Rs w_c), pn_c = Re(w_c^H Rn w_c) — the XLA einsum
+    pair behind pmwf_select_ref lowers to MXU-hostile tiny-N batched
+    matmuls, while in-kernel they are ~2 N^3 extra VPU FMAs on
+    resident tiles."""
     s_re, s_im = _load_herm(rs_re_ref, rs_im_ref, n)
     a_re, a_im = _load_herm(rn_re_ref, rn_im_ref, n)
     _load_diag(a_re, n, eps_rel)
@@ -313,40 +316,64 @@ def _pmwf_kernel(n, beta, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
     tr_im = sum(x_im[i][i] for i in range(n))
     inv_den = 1.0 / jnp.maximum(tr_re * tr_re + tr_im * tr_im,
                                 EPSILON * EPSILON)
+    w_re = [[None] * n for _ in range(n)]
+    w_im = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(n):
             w_r, w_i = _cmul_conj(x_re[i][j], x_im[i][j], tr_re, tr_im)
-            w_re_ref[i * n + j, 0] = w_r * inv_den
-            w_im_ref[i * n + j, 0] = w_i * inv_den
+            w_re[i][j] = w_r * inv_den
+            w_im[i][j] = w_i * inv_den
+            w_re_ref[i * n + j, 0] = w_re[i][j]
+            w_im_ref[i * n + j, 0] = w_im[i][j]
+    if not with_powers:
+        return
+    ps_ref, pn_ref = pow_refs
+    # raw (unloaded) Rn for pn, matching the XLA selection semantics
+    b_re, b_im = _load_herm(rn_re_ref, rn_im_ref, n)
+    shape = w_re[0][0].shape
+    for c in range(n):
+        wc_re = [w_re[i][c] for i in range(n)]
+        wc_im = [w_im[i][c] for i in range(n)]
+        for mat_re, mat_im, out_ref in ((s_re, s_im, ps_ref),
+                                        (b_re, b_im, pn_ref)):
+            u_re, u_im = _matvec(mat_re, mat_im, wc_re, wc_im, n, shape)
+            acc = jnp.zeros(shape, jnp.float32)
+            for i in range(n):
+                acc = acc + wc_re[i] * u_re[i] + wc_im[i] * u_im[i]
+            out_ref[c, 0] = acc
 
 
 def _weights_pallas_flat(kernel_fn, n_out, rs_re, rs_im, rn_re, rn_im,
                          interpret):
     """Entry-major planar solve: 4 x (N*N, NB, rows, 128) inputs ->
-    (n_out, NB, rows, 128) planar weight outputs."""
+    planar outputs.  ``n_out`` is an int (two re/im outputs of that
+    width) or a tuple of per-output widths."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nn, nb, rows, lanes = rs_re.shape
+    dims = (n_out, n_out) if isinstance(n_out, int) else tuple(n_out)
     in_spec = pl.BlockSpec((nn, 1, rows, lanes), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((n_out, 1, rows, lanes), lambda i: (0, i, 0, 0),
+
+    def out_spec(d):
+        return pl.BlockSpec((d, 1, rows, lanes), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         kernel_fn,
         grid=(nb,),
         in_specs=[in_spec] * 4,
-        out_specs=[out_spec, out_spec],
+        out_specs=[out_spec(d) for d in dims],
         out_shape=[
-            jax.ShapeDtypeStruct((n_out, nb, rows, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((n_out, nb, rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((d, nb, rows, lanes), jnp.float32)
+            for d in dims
         ],
         interpret=interpret,
     )(rs_re, rs_im, rn_re, rn_im)
 
 
-def _run_entry_major(kernel, n, n_out, rs, rn, interpret):
-    """Pack (..., N, N) complex pairs entry-major, run, unpack to
-    (..., n_out) complex."""
+def _pack_entry_major(rs, rn, n):
+    """(..., N, N) complex pair -> 4 planar (N*N, NB, rows, 128) args."""
     lead = rs.shape[:-2]
     bf = int(np.prod(lead)) if lead else 1
     tile = _ROWS * 128
@@ -363,10 +390,24 @@ def _run_entry_major(kernel, n, n_out, rs, rn, interpret):
     for mat in (rs, rn):
         args.append(to_entry_major(jnp.real(mat).astype(jnp.float32)))
         args.append(to_entry_major(jnp.imag(mat).astype(jnp.float32)))
+    return args, lead, bf
+
+
+def _unpack_planar(plane, lead, bf, n_out):
+    """(n_out, NB, rows, 128) planar -> (..., n_out) f32."""
+    flat = plane.reshape(n_out, -1)[:, :bf]
+    return jnp.transpose(flat, (1, 0)).reshape(*lead, n_out)
+
+
+def _run_entry_major(kernel, n, n_out, rs, rn, interpret):
+    """Pack (..., N, N) complex pairs entry-major, run, unpack to
+    (..., n_out) complex."""
+    args, lead, bf = _pack_entry_major(rs, rn, n)
     w_re, w_im = _weights_pallas_flat(kernel, n_out, *args,
                                       interpret=interpret)
-    w = (w_re + 1j * w_im).reshape(n_out, -1)[:, :bf]
-    return jnp.transpose(w, (1, 0)).reshape(*lead, n_out).astype(rs.dtype)
+    w = (_unpack_planar(w_re, lead, bf, n_out) +
+         1j * _unpack_planar(w_im, lead, bf, n_out))
+    return w.astype(rs.dtype)
 
 
 @partial(jax.jit, static_argnames=("power_iters", "eps_rel", "interpret"))
@@ -403,21 +444,35 @@ def gevd_power_pallas(rs: jax.Array,
     return _run_entry_major(kernel, n, n, rs, rn, interpret)
 
 
-@partial(jax.jit, static_argnames=("beta", "eps_rel", "interpret"))
+@partial(jax.jit, static_argnames=("beta", "eps_rel", "return_powers",
+                                   "interpret"))
 def pmwf_solve_pallas(rs: jax.Array,
                       rn: jax.Array,
                       beta: float = 0.0,
                       eps_rel: float = 1e-6,
-                      interpret: bool = False) -> jax.Array:
+                      return_powers: bool = False,
+                      interpret: bool = False):
     """PMWF weight matrix W = Rn^{-1} Rs / (beta + trace) per bin.
 
-    Returns (..., N, N); reference-channel selection stays in XLA
-    (enhance.beamformer.pmwf_weights).
+    Returns (..., N, N); with ``return_powers`` also the per-channel
+    SNR powers (ps, pn), each (..., N) real — feed them to
+    ``enhance.beamformer.pmwf_select_powers`` instead of the einsum
+    selection (the in-kernel powers make the tiny-N XLA einsums in
+    pmwf_select_ref unnecessary).
     """
     n = rs.shape[-1]
-    kernel = partial(_pmwf_kernel, n, beta, eps_rel)
-    out = _run_entry_major(kernel, n, n * n, rs, rn, interpret)
-    return out.reshape(*rs.shape[:-2], n, n)
+    kernel = partial(_pmwf_kernel, n, beta, eps_rel, return_powers)
+    if not return_powers:
+        out = _run_entry_major(kernel, n, n * n, rs, rn, interpret)
+        return out.reshape(*rs.shape[:-2], n, n)
+    args, lead, bf = _pack_entry_major(rs, rn, n)
+    w_re, w_im, ps, pn = _weights_pallas_flat(
+        kernel, (n * n, n * n, n, n), *args, interpret=interpret)
+    w = (_unpack_planar(w_re, lead, bf, n * n) +
+         1j * _unpack_planar(w_im, lead, bf, n * n)).astype(rs.dtype)
+    return (w.reshape(*rs.shape[:-2], n, n),
+            _unpack_planar(ps, lead, bf, n),
+            _unpack_planar(pn, lead, bf, n))
 
 
 @partial(jax.jit, static_argnames=("eps_rel", "interpret"))

@@ -718,3 +718,24 @@ def test_fused_cgmm_em_frame_mask_and_dispatch(rng):
                                np.asarray(ref_g)[..., :14], atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
                                rtol=2e-3, atol=1e-3)
+
+
+def test_pmwf_solve_kernel_powers(rng):
+    """pmwf_solve_pallas(return_powers=True): the in-kernel per-channel
+    SNR powers reproduce the einsum selection (pmwf_select_ref) and the
+    selected weights match the XLA pmwf_weights."""
+    from setk_tpu.enhance.beamformer import (compute_covar, pmwf_weights,
+                                             pmwf_select_powers,
+                                             pmwf_select_ref)
+    from setk_tpu.ops.pallas.mvdr import pmwf_solve_pallas
+    obs, mask = _obs(rng, b=2, f=24, n=4, t=96)
+    rs = compute_covar(obs, mask)
+    rn = compute_covar(obs, 1 - mask)
+    ref = np.asarray(pmwf_weights(rs, rn, beta=0.0))
+    wm, ps, pn = pmwf_solve_pallas(rs, rn, beta=0.0, return_powers=True,
+                                   interpret=True)
+    got = np.asarray(pmwf_select_powers(wm, ps, pn))
+    got_ein = np.asarray(pmwf_select_ref(wm, rs, rn))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
+    np.testing.assert_allclose(got, got_ein, atol=1e-4 * scale)
