@@ -122,8 +122,21 @@ def measure_reference_cpu(max_seconds=60.0):
     return (done * SECS) / dt
 
 
+def measure_probe():
+    """Fixed chained-dispatch overhead of the remote runtime (varies
+    2.5-25 ms with tunnel load); recorded alongside the headline number
+    so round-over-round artifacts stay comparable."""
+    sys.path.insert(0, "/root/repo/benchmarks")
+    from _timing import probe_overhead_ms
+    return probe_overhead_ms(iters=ITERS)
+
+
 def main():
     tpu_as_per_s = measure_tpu()
+    try:
+        probe = measure_probe()
+    except Exception:
+        probe = None
     try:
         base = measure_reference_cpu()
     except Exception:
@@ -135,6 +148,7 @@ def main():
             "value": round(tpu_as_per_s, 2),
             "unit": "audio_s/s",
             "vs_baseline": round(vs, 2) if vs else None,
+            "probe_overhead_ms": round(probe, 2) if probe else None,
         }))
 
 

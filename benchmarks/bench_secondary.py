@@ -28,10 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _timing import timed_scan
+from _timing import probe_overhead_ms, timed_scan
 from setk_tpu.dsp.stft import StftConfig, forward_stft
-from setk_tpu.enhance.cluster import cacgmm_em
-from setk_tpu.enhance.wpe import wpe
+from setk_tpu.enhance.cluster import cacgmm_em, cgmm_em
+from setk_tpu.enhance.wpe import wpd, wpe
 from setk_tpu.parallel.enhance_step import enhance_batch
 
 cfg = StftConfig()
@@ -77,7 +77,7 @@ def main():
 
         row(f"{name} B=128 x 8 s", fam_body, maskf, BF * 8, iters=12)
 
-    # --- CACGMM, 20 EM iterations (fused in-VMEM kernel) ---
+    # --- CACGMM / CGMM, 20 EM iterations (fused in-VMEM kernel) ---
     for BE in (8, 32):
         SE = 4 * SR
         we = (rng.standard_normal((BE, 6, SE)) * 0.2).astype(np.float32)
@@ -89,6 +89,25 @@ def main():
             return o * 0.9999 + jnp.mean(gamma).astype(o.dtype) * 1e-9
 
         row(f"CACGMM 20 it B={BE} x 4 s", em_body, obs, BE * 4, iters=12)
+
+        if BE == 32:
+
+            def cg_body(o):
+                gamma, _ = cgmm_em(o, 2, num_iters=20)
+                return o * 0.9999 + jnp.mean(gamma).astype(o.dtype) * 1e-9
+
+            row(f"CGMM 20 it B={BE} x 4 s", cg_body, obs, BE * 4,
+                iters=12)
+
+            # --- factored WPD (3 outer iters, CGMM 10, 10 taps) ---
+            def wpd_body(o):
+                _, enh = wpd(o, cgmm_iters=10, wpd_iters=3, taps=10,
+                             delay=3)
+                return o * 0.9999 + jnp.mean(
+                    jnp.abs(enh)).astype(o.dtype) * 1e-9
+
+            row(f"WPD B={BE} x 4 s (3 outer, CGMM 10)", wpd_body, obs,
+                BE * 4, iters=4)
 
     # --- WPE (B=32, 6 ch, 8 s, 10 taps, 3 iterations) ---
     BW, SW = 32, 8 * SR
@@ -102,9 +121,13 @@ def main():
 
     row("WPE B=32 x 8 s (10 taps, 3 it)", wpe_body, obsw, BW * 8, iters=6)
 
+    probe = probe_overhead_ms()
+    print(f"probe: fixed chained-dispatch overhead {probe:.2f} ms",
+          flush=True)
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
-            json.dump({"rows": ROWS}, f, indent=1)
+            json.dump({"rows": ROWS,
+                       "probe_overhead_ms": round(probe, 2)}, f, indent=1)
         print(f"wrote {sys.argv[1]}", flush=True)
 
 

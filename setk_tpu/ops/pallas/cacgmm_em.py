@@ -84,8 +84,13 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
     def iteration(it, carry):
         gamma, kernel, alpha = carry   # K-tuples of (T,8,128) / (8,128)
         # ---- M-step ---------------------------------------------------
-        covar_re = [None] * k_classes
-        covar_im = [None] * k_classes
+        # per-class weights first, then ONE pair pass with the class
+        # loop INSIDE: each (T, 8, 128) pair product is computed once
+        # per pass instead of once per class (at K=2 this removes ~30%
+        # of the kernel's T-proportional VPU ops; caching the pairs
+        # ACROSS the covar and quad passes would instead cost +42 MB of
+        # VMEM per block at T=251)
+        w = [None] * k_classes
         alpha_new = [None] * k_classes
         for k in range(k_classes):
             g = gamma[k] * fm                                   # (T,8,128)
@@ -93,46 +98,54 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
             # the floor only matters for zero-padded bins (kernel plane
             # pads with 0 -> 0/0 NaN would poison Q); real bins carry
             # kernel = quad >= EPSILON already
-            w = (g / jnp.maximum(kernel[k], EPSILON)) * (m / den)
-            c_re = [[None] * m for _ in range(m)]
-            c_im = [[None] * m for _ in range(m)]
-            for i in range(m):
-                for j in range(i, m):
-                    p_re, p_im = prod(i, j)
-                    # R_ij = sum_t w * z_i conj(z_j) = sum w * conj(P_ij)
-                    c_re[i][j] = jnp.sum(w * p_re, axis=0)
-                    c_im[i][j] = -jnp.sum(w * p_im, axis=0)
-                    if j != i:
-                        c_re[j][i] = c_re[i][j]
-                        c_im[j][i] = -c_im[i][j]
-            covar_re[k], covar_im[k] = c_re, c_im
+            w[k] = (g / jnp.maximum(kernel[k], EPSILON)) * (m / den)
             alpha_new[k] = (jnp.sum(g, axis=0) / fm_den
                             if update_alpha else alpha[k])
         alpha = tuple(alpha_new)
+        covar_re = [[[None] * m for _ in range(m)]
+                    for _ in range(k_classes)]
+        covar_im = [[[None] * m for _ in range(m)]
+                    for _ in range(k_classes)]
+        for i in range(m):
+            for j in range(i, m):
+                p_re, p_im = prod(i, j)
+                for k in range(k_classes):
+                    # R_ij = sum_t w * z_i conj(z_j) = sum w * conj(P_ij)
+                    covar_re[k][i][j] = jnp.sum(w[k] * p_re, axis=0)
+                    covar_im[k][i][j] = -jnp.sum(w[k] * p_im, axis=0)
+                    if j != i:
+                        covar_re[k][j][i] = covar_re[k][i][j]
+                        covar_im[k][j][i] = -covar_im[k][i][j]
         # ---- E-step ---------------------------------------------------
+        b_re = [None] * k_classes
+        b_im = [None] * k_classes
+        logdets = [None] * k_classes
+        for k in range(k_classes):
+            b_re[k], b_im[k], logdets[k] = jacobi_regularized_inverse(
+                covar_re[k], covar_im[k], m, sweeps)
+        qds = [jnp.zeros_like(fm) for _ in range(k_classes)]
+        for i in range(m):
+            p_re, _ = prod(i, i)
+            for k in range(k_classes):
+                qds[k] = qds[k] + b_re[k][i][i] * p_re
+        for i in range(m):
+            for j in range(i + 1, m):
+                p_re, p_im = prod(i, j)
+                for k in range(k_classes):
+                    # 2 Re(conj(z_i) B_ij z_j) = 2 (Bre Pre - Bim Pim)
+                    qds[k] = qds[k] + 2.0 * (b_re[k][i][j] * p_re -
+                                             b_im[k][i][j] * p_im)
         log_pdf = [None] * k_classes
         quad = [None] * k_classes
         for k in range(k_classes):
-            b_inv_re, b_inv_im, logdet = jacobi_regularized_inverse(
-                covar_re[k], covar_im[k], m, sweeps)
-            qd = jnp.zeros_like(fm)
-            for i in range(m):
-                p_re, _ = prod(i, i)
-                qd = qd + b_inv_re[i][i] * p_re
-            for i in range(m):
-                for j in range(i + 1, m):
-                    p_re, p_im = prod(i, j)
-                    # 2 Re(conj(z_i) B_ij z_j) = 2 (Bre P_re - Bim P_im)
-                    qd = qd + 2.0 * (b_inv_re[i][j] * p_re -
-                                     b_inv_im[i][j] * p_im)
             if model == "cg":
                 # CGMM: the carried plane is phi = quad / M (time-varying
                 # class power, /root/reference/scripts/sptk/libs/
                 # cluster.py:184-235)
-                quad[k] = jnp.maximum(qd, EPSILON) * (1.0 / m)
+                quad[k] = jnp.maximum(qds[k], EPSILON) * (1.0 / m)
             else:
-                quad[k] = jnp.maximum(qd, EPSILON)
-            log_pdf[k] = -m * jnp.log(quad[k]) - logdet[None]
+                quad[k] = jnp.maximum(qds[k], EPSILON)
+            log_pdf[k] = -m * jnp.log(quad[k]) - logdets[k][None]
         # posterior with the max-shifted logsumexp Q statistic
         mx = log_pdf[0]
         for k in range(1, k_classes):

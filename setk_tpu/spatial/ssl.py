@@ -71,9 +71,19 @@ def srp_ssl(stft: jax.Array,
     ora_pha = jnp.angle(sv)
     obs_ipd = obs_pha[index_l] - obs_pha[index_r]  # P x T x F
     ora_ipd = ora_pha[:, index_l] - ora_pha[:, index_r]  # A x P x F
-    af = jnp.cos(obs_ipd[None] - ora_ipd[:, :, None, :])  # A x P x T x F
-    af = jnp.mean(af, axis=1)
-    srp = jnp.sum(af * mask[None], axis=(1, 2))
+    # same sum as the reference's mean_p cos(obs - ora) summed over the
+    # masked (T, F) plane, via cos(x - y) = cos x cos y + sin x sin y
+    # with the T reduction FIRST: the naive (A, P, T, F) broadcast costs
+    # A*P*T*F transcendentals (~175 ms at A=181 P=15 4 s — it dominated
+    # the WPE->SRP->SD cascade), the factored form P*T*F trig + an
+    # (A, P*F) matvec that rides the MXU (~100x fewer ops, bitwise-
+    # equal argmax up to fp reassociation).
+    co = jnp.sum(jnp.cos(obs_ipd) * mask[None], axis=1)  # P x F
+    si = jnp.sum(jnp.sin(obs_ipd) * mask[None], axis=1)  # P x F
+    srp = (jnp.einsum("apf,pf->a", jnp.cos(ora_ipd), co,
+                      precision=GRAM_PRECISION) +
+           jnp.einsum("apf,pf->a", jnp.sin(ora_ipd), si,
+                      precision=GRAM_PRECISION)) / index_l.shape[0]
     idx = jnp.argmax(srp)
     return (idx, srp) if return_scores else idx
 
