@@ -172,7 +172,7 @@ def _run(args):
                 m_n = np.ascontiguousarray(interf_mask.T).astype(np.float32)
                 m_n, _ = pad_to_bucket(m_n, axis=-1, bucket=bucket)
             else:
-                m_n = 1.0 - m_s
+                m_n = np.maximum(1.0 - m_s, 0.0)
             nsamps = reader.nsamps(key)
             # planar device transfer: complex buffers cannot cross the
             # host<->device boundary on some runtimes (axon TPU)

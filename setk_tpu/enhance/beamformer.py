@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from setk_tpu.utils.common import EPSILON
-from setk_tpu.ops.linalg import solve_pevd, hermitianize, hermitian_solve
+from setk_tpu.ops.linalg import (solve_pevd, hermitianize, hermitian_solve,
+                                 equilibrated_hermitian_solve)
 
 __all__ = [
     "compute_covar", "compute_covar_pair", "covar_stats",
@@ -136,7 +137,9 @@ def compute_covar_pair(obs: jax.Array,
         return compute_covar_pair_pallas(obs, mask_s, mask_n,
                                          denom_floor=denom_floor)
     rs = compute_covar(obs, mask_s, denom_floor)
-    rn = compute_covar(obs, 1 - mask_s if mask_n is None else mask_n,
+    rn = compute_covar(obs,
+                       jnp.maximum(1 - mask_s, 0) if mask_n is None
+                       else mask_n,
                        denom_floor)
     return rs, rn
 
@@ -205,9 +208,17 @@ def fix_steer_phase(steer: jax.Array, ref_channel: int = 0) -> jax.Array:
 
 
 def _capon(steer: jax.Array, r: jax.Array) -> jax.Array:
-    """w = R^{-1} d / (d^H R^{-1} d) — the distortionless solution."""
-    num = hermitian_solve(r, steer)
+    """w = R^{-1} d / (d^H R^{-1} d) — the distortionless solution.
+
+    Equilibrated solve + guarded denominator: saturated masks produce
+    rank-deficient per-bin covariances whose plain loaded Cholesky
+    NaN'd (see ops/pallas/mvdr._equilibrated_cholesky); the denominator
+    floor keeps degenerate bins at a bounded (garbage but finite)
+    weight, where the reference's unloaded numpy solve raises
+    LinAlgError and skips the whole utterance."""
+    num = equilibrated_hermitian_solve(r, steer)
     den = jnp.sum(jnp.conj(steer) * num, axis=-1)
+    den = jnp.where(jnp.abs(den) < EPSILON, EPSILON, den)
     return num / den[..., None]
 
 
@@ -406,7 +417,7 @@ def online_supervised_run(beamformer: str,
     if t_frames % chunk_size:
         raise ValueError(f"T={t_frames} not a multiple of {chunk_size}")
     n_chunks = t_frames // chunk_size
-    m_n = 1 - mask_s if mask_n is None else mask_n
+    m_n = jnp.maximum(1 - mask_s, 0) if mask_n is None else mask_n
 
     # scan over the chunk axis (moved to front)
     def to_chunks(x):

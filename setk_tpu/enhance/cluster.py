@@ -46,12 +46,17 @@ def _posterior(log_pdf, alpha, frame_mask=None):
     num = jnp.exp(log_pdf - mx) * alpha[..., None]
     den = jnp.maximum(jnp.sum(num, axis=0, keepdims=True), EPSILON)
     log_marg = mx[0] + jnp.log(den[0])
+    # clamp: f32 rounding can give num/den = 1 + ulp; a gamma of
+    # 1.0000001 makes the downstream (1 - mask) noise weights NEGATIVE
+    # on the loudest frames and the noise covariance indefinite far
+    # beyond any loading (-4.7e-4 relative measured -> Cholesky NaN)
+    post = jnp.minimum(num / den, 1.0)
     if frame_mask is None:
         q = jnp.mean(log_marg)
     else:
         fm = jnp.broadcast_to(frame_mask, log_marg.shape)
         q = jnp.sum(log_marg * fm) / jnp.maximum(jnp.sum(fm), 1.0)
-    return num / den, q
+    return post, q
 
 
 def _weighted_covar(obs, weight):

@@ -241,7 +241,7 @@ def mvdr_enhance_planar(wav: jax.Array,
     rs_ny = (jnp.einsum("bt,bxt,byt->bxy", m_ny, nv, nv,
                         precision=GRAM_PRECISION) /
              jnp.maximum(den_s[..., fh], 1e-6)[..., None, None])
-    rn_ny = (jnp.einsum("bt,bxt,byt->bxy", 1.0 - m_ny, nv, nv,
+    rn_ny = (jnp.einsum("bt,bxt,byt->bxy", jnp.maximum(1.0 - m_ny, 0.0), nv, nv,
                         precision=GRAM_PRECISION) /
              jnp.maximum(den_n[..., fh], 1e-6)[..., None, None])
     rs_full = jnp.concatenate(

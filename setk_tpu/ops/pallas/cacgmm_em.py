@@ -156,7 +156,11 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
         for k in range(1, k_classes):
             den_p = den_p + num[k]
         den_p = jnp.maximum(den_p, EPSILON)
-        gamma = tuple(num[k] / den_p for k in range(k_classes))
+        # clamp: num/den can round to 1 + ulp in f32, which makes the
+        # downstream (1 - mask) covariance weights negative on the
+        # loudest frames (indefinite Rn -> Cholesky NaN)
+        gamma = tuple(jnp.minimum(num[k] / den_p, 1.0)
+                      for k in range(k_classes))
         log_marg = mx + jnp.log(den_p)                      # (T,8,128)
         q_ref[0, it] = jnp.sum(log_marg * fm, axis=0)
         # persist the M-step state (last iteration wins)

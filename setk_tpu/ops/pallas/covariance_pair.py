@@ -77,7 +77,7 @@ def _pair_kernel_complement(n_mics, n_valid_t, obs_re_ref, obs_im_ref,
     t = ms.shape[0]
     valid = (jax.lax.broadcasted_iota(jnp.int32, (t, ms.shape[1]), 0)
              < n_valid_t).astype(jnp.float32)
-    mn = (1.0 - ms) * valid
+    mn = jnp.maximum(1.0 - ms, 0.0) * valid
     for a in range(n_mics):
         xa_re = obs_re_ref[0, a]
         xa_im = obs_im_ref[0, a]
@@ -182,7 +182,7 @@ def compute_covar_pair_pallas(obs: jax.Array,
     *lead, f, n, t = obs.shape
     bsz = int(np.prod(lead)) if lead else 1
     if mask_n is None:
-        mask_n = 1.0 - mask_s
+        mask_n = jnp.maximum(1.0 - mask_s, 0.0)
     ntf = jnp.moveaxis(obs.reshape(bsz, f, n, t), 1, -1)  # (B, N, T, F)
     ms = jnp.moveaxis(mask_s.reshape(bsz, f, t), 1, -1)   # (B, T, F)
     mn = jnp.moveaxis(mask_n.reshape(bsz, f, t), 1, -1)

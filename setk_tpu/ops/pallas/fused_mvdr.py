@@ -256,9 +256,9 @@ def _stft_covar_kernel(n_mics, nblk, n_valid_t, wav_ref, edge_ref, mask_ref,
             jnp.int32, (_QUARTER, 256), 0) + row0 < n_valid_t).astype(
                 jnp.float32)
         ms_q = msp[row0:row0 + _QUARTER]               # (128, 256)
-        mn_q = (1.0 - ms_q) * valid
+        mn_q = jnp.maximum(1.0 - ms_q, 0.0) * valid
         ms_ny = maskny_ref[0, row0:row0 + _QUARTER]    # (128, 128)
-        mn_ny = (1.0 - ms_ny) * valid[:, 0:128]
+        mn_ny = jnp.maximum(1.0 - ms_ny, 0.0) * valid[:, 0:128]
 
         def tile(mic, which):
             r0 = mic * _QUARTER
@@ -561,9 +561,9 @@ def _stft_covar_online_kernel(n_mics, nblk, n_valid_t, chunk, alpha,
             jnp.int32, (_QUARTER, 256), 0) + row0 < n_valid_t).astype(
                 jnp.float32)
         ms_q = msp[row0:row0 + _QUARTER]
-        mn_q = (1.0 - ms_q) * valid
+        mn_q = jnp.maximum(1.0 - ms_q, 0.0) * valid
         ms_ny = maskny_ref[0, row0:row0 + _QUARTER]
-        mn_ny = (1.0 - ms_ny) * valid[:, 0:128]
+        mn_ny = jnp.maximum(1.0 - ms_ny, 0.0) * valid[:, 0:128]
 
         def gsum(x):
             """Per-chunk sums: (128, 128) -> (G, 128)."""

@@ -98,6 +98,48 @@ def _cholesky(a_re, a_im, n):
     return l_re, l_im, inv_diag
 
 
+def _equilibrated_cholesky(a_re, a_im, n, eps_rel):
+    """Symmetric Jacobi equilibration + absolute loading + Cholesky.
+
+    Rank-deficient covariances (saturated masks leave (1 - m) ~ 0 over
+    a whole bin) make the plain guarded Cholesky INCONSISTENT: pivots
+    hit the EPSILON floor while their off-diagonal columns stay large,
+    and back-substitution cascades ~x2.6e8 per level into Inf -> NaN
+    (observed on the CACGMM->MVDR cascade, utterance-deterministic, on
+    BOTH the kernel and XLA paths).  Equilibrating to a unit diagonal
+    and loading at the f32 rounding floor (>= 4 N eps) keeps the
+    triangle consistent; callers unscale solutions with the returned
+    per-row scale (exact math, same as ops.linalg.
+    equilibrated_hermitian_solve).
+    Returns (l_re, l_im, inv_diag, dscale).
+    """
+    load = max(eps_rel, 4.0 * n * float(EPSILON))
+    dscale = []
+    for i in range(n):
+        dii = a_re[i][i]
+        dscale.append(jnp.where(dii > 0.0,
+                                jax.lax.rsqrt(jnp.maximum(dii, 1e-30)),
+                                1.0))
+    e_re = [[a_re[i][j] * dscale[i] * dscale[j] for j in range(n)]
+            for i in range(n)]
+    e_im = [[a_im[i][j] * dscale[i] * dscale[j] for j in range(n)]
+            for i in range(n)]
+    for i in range(n):
+        e_re[i][i] = e_re[i][i] + load
+    l_re, l_im, inv_diag = _cholesky(e_re, e_im, n)
+    return l_re, l_im, inv_diag, dscale
+
+
+def _equilibrated_chol_solve(l_re, l_im, inv_diag, dscale, b_re, b_im, n):
+    """Solve the ORIGINAL system through the equilibrated factor:
+    x = D solve(D A D, D b)."""
+    bs_re = [b_re[i] * dscale[i] for i in range(n)]
+    bs_im = [b_im[i] * dscale[i] for i in range(n)]
+    x_re, x_im = _chol_solve(l_re, l_im, inv_diag, bs_re, bs_im, n)
+    return ([x_re[i] * dscale[i] for i in range(n)],
+            [x_im[i] * dscale[i] for i in range(n)])
+
+
 def _chol_solve(l_re, l_im, inv_diag, b_re, b_im, n):
     """Solve L L^H x = b (planar tile vectors)."""
     y_re, y_im = [None] * n, [None] * n
@@ -187,13 +229,12 @@ def mvdr_weights_tiles(rs_re, rs_im, rn_re, rn_im, n, power_iters,
     # ---- 2. phase anchor to channel 0 (fix_steer_phase) ----
     d_re, d_im = _anchor_phase(v_re, v_im, n, shape)
 
-    # ---- 3. Rn hermitianize + scale-invariant diagonal loading ----
+    # ---- 3+4. equilibrated Cholesky; solve Rn x = d ----
     a_re, a_im = _hermitianize_tiles(rn_re, rn_im, n)
-    _load_diag(a_re, n, eps_rel)
-
-    # ---- 4. unrolled complex Cholesky; solve Rn x = d ----
-    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
-    x_re, x_im = _chol_solve(l_re, l_im, inv_diag, d_re, d_im, n)
+    l_re, l_im, inv_diag, dsc = _equilibrated_cholesky(a_re, a_im, n,
+                                                       eps_rel)
+    x_re, x_im = _equilibrated_chol_solve(l_re, l_im, inv_diag, dsc,
+                                          d_re, d_im, n)
 
     # ---- 5. Capon normalize: w = x / (d^H x) ----
     den_re = jnp.zeros(shape, jnp.float32)
@@ -239,13 +280,14 @@ def _gevd_kernel(n, power_iters, eps_rel, rs_re_ref, rs_im_ref, rn_re_ref,
     s_re, s_im = _load_herm(rs_re_ref, rs_im_ref, n)
     shape = s_re[0][0].shape
     a_re, a_im = _load_herm(rn_re_ref, rn_im_ref, n)
-    _load_diag(a_re, n, eps_rel)
-    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
+    l_re, l_im, inv_diag, dsc = _equilibrated_cholesky(a_re, a_im, n,
+                                                       eps_rel)
     v_re = [jnp.full(shape, (k + 1.0) / n, jnp.float32) for k in range(n)]
     v_im = [jnp.zeros(shape, jnp.float32) for _ in range(n)]
     for _ in range(power_iters):
         u_re, u_im = _matvec(s_re, s_im, v_re, v_im, n, shape)
-        x_re, x_im = _chol_solve(l_re, l_im, inv_diag, u_re, u_im, n)
+        x_re, x_im = _equilibrated_chol_solve(l_re, l_im, inv_diag, dsc,
+                                              u_re, u_im, n)
         nrm2 = sum(x_re[i] * x_re[i] + x_im[i] * x_im[i] for i in range(n))
         inv = jax.lax.rsqrt(jnp.maximum(nrm2, EPSILON * EPSILON))
         v_re = [x * inv for x in x_re]
@@ -272,9 +314,10 @@ def _capon_kernel(n, eps_rel, d_re_ref, d_im_ref, r_re_ref, r_im_ref,
     d_im = [d_im_ref[i, 0] for i in range(n)]
     shape = d_re[0].shape
     a_re, a_im = _load_herm(r_re_ref, r_im_ref, n)
-    _load_diag(a_re, n, eps_rel)
-    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
-    x_re, x_im = _chol_solve(l_re, l_im, inv_diag, d_re, d_im, n)
+    l_re, l_im, inv_diag, dsc = _equilibrated_cholesky(a_re, a_im, n,
+                                                       eps_rel)
+    x_re, x_im = _equilibrated_chol_solve(l_re, l_im, inv_diag, dsc,
+                                          d_re, d_im, n)
     den_re = jnp.zeros(shape, jnp.float32)
     den_im = jnp.zeros(shape, jnp.float32)
     for i in range(n):
@@ -301,14 +344,15 @@ def _pmwf_kernel(n, beta, eps_rel, with_powers, rs_re_ref, rs_im_ref,
     resident tiles."""
     s_re, s_im = _load_herm(rs_re_ref, rs_im_ref, n)
     a_re, a_im = _load_herm(rn_re_ref, rn_im_ref, n)
-    _load_diag(a_re, n, eps_rel)
-    l_re, l_im, inv_diag = _cholesky(a_re, a_im, n)
+    l_re, l_im, inv_diag, dsc = _equilibrated_cholesky(a_re, a_im, n,
+                                                       eps_rel)
     x_re = [[None] * n for _ in range(n)]
     x_im = [[None] * n for _ in range(n)]
     for j in range(n):
-        col_re, col_im = _chol_solve(l_re, l_im, inv_diag,
-                                     [s_re[i][j] for i in range(n)],
-                                     [s_im[i][j] for i in range(n)], n)
+        col_re, col_im = _equilibrated_chol_solve(
+            l_re, l_im, inv_diag, dsc,
+            [s_re[i][j] for i in range(n)],
+            [s_im[i][j] for i in range(n)], n)
         for i in range(n):
             x_re[i][j] = col_re[i]
             x_im[i][j] = col_im[i]

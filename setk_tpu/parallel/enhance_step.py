@@ -77,7 +77,7 @@ def enhance_batch(wav: jax.Array,
         # mask_n = 0 (not 1 - 0 = 1) so they drop out of both
         # covariance denominators — matching the reference's
         # short-last-chunk handling
-        mask_n = 1.0 - mask
+        mask_n = jnp.maximum(1.0 - mask, 0.0)
         pad = (-t) % chunk_size
         if pad:
             obs = jnp.pad(obs, ((0, 0), (0, 0), (0, 0), (0, pad)))
@@ -166,7 +166,7 @@ def sharded_enhance_step(mesh: Mesh,
             return num / jnp.maximum(den, 1e-6)[..., None, None]
 
         rs = psum_covar(mask_l)
-        rn = psum_covar(1.0 - mask_l)
+        rn = psum_covar(jnp.maximum(1.0 - mask_l, 0.0))
         # --- per-bin weight solve on the local freq shard -------------
         if beamformer == "mvdr":
             weight = bf.mvdr_weights(rs, rn)
