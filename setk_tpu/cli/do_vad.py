@@ -25,7 +25,8 @@ def _run(args):
             voiced, segments = remove_silence(
                 samps, sr=args.sr, chunk_ms=args.chunk_size,
                 cache_size=args.cache_size,
-                threshold_db=args.threshold_db)
+                threshold_db=args.threshold_db,
+                backend=args.backend, mode=args.mode)
             if voiced.shape[-1]:
                 writer.write(key, voiced)
                 done += 1
@@ -43,12 +44,15 @@ def run(args):
 
 def make_parser():
     parser = argparse.ArgumentParser(
-        description="Remove silence from utterances (energy VAD). "
-        "DEVIATION from the reference: decisions come from an "
-        "adaptive-energy detector, not py-webrtcvad's GMM (library "
-        "unavailable); the hangover state machine and segment output "
-        "are identical. Tune --threshold-db where webrtcvad used "
-        "--mode. See doc/MIGRATING.md.",
+        description="Remove silence from utterances. DEVIATION from "
+        "the reference: py-webrtcvad is unavailable; --backend gmm "
+        "reimplements its architecture (6 subband log energies, "
+        "2-component speech/noise GMMs, LLR decisions, --mode "
+        "aggressiveness 0-3) with self-initialized adaptive models, so "
+        "decisions correlate but are not bit-identical; --backend "
+        "energy is an adaptive-noise-floor detector tuned by "
+        "--threshold-db. Hangover state machine and segment output are "
+        "identical to the reference. See doc/MIGRATING.md.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("wav_scp", help="Input wave scripts")
     parser.add_argument("dst_dir", help="Output directory")
@@ -56,8 +60,13 @@ def make_parser():
                         help="Frame size in ms")
     parser.add_argument("--cache-size", type=int, default=5,
                         help="Hangover frames to open/close segments")
+    parser.add_argument("--backend", choices=("energy", "gmm"),
+                        default="energy", help="Frame classifier")
+    parser.add_argument("--mode", type=int, default=1,
+                        help="GMM backend aggressiveness 0-3 (the "
+                        "reference's webrtcvad --mode)")
     parser.add_argument("--threshold-db", type=float, default=6.0,
-                        help="Energy-over-floor activation threshold")
+                        help="Energy-backend over-floor threshold")
     parser.add_argument("--sr", type=int, default=16000)
     return parser
 

@@ -107,3 +107,44 @@ def test_vad_masks_parity(rng):
     ref = (energy < threshold).T
     np.testing.assert_array_equal(silence, ref)
     assert int(idx) == index
+
+
+def test_gmm_vad_detects_bursts(rng):
+    from setk_tpu.enhance.vad import gmm_frame_vad
+    sr = 16000
+    sil = rng.standard_normal(sr) * 0.001
+    # speech-like: modulated band-limited burst (energy in 250-2k Hz)
+    tt = np.arange(sr) / sr
+    carrier = np.sin(2 * np.pi * 700 * tt) + np.sin(2 * np.pi * 1300 * tt)
+    speech = (carrier * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * tt)) * 0.4
+              + rng.standard_normal(sr) * 0.05)
+    samps = np.concatenate([sil, speech, sil]).astype(np.float32)
+    active = np.asarray(gmm_frame_vad(samps, 320, sr=sr, mode=1))
+    assert active[50:100].mean() > 0.8
+    assert np.concatenate([active[:45], active[105:]]).mean() < 0.3
+
+
+def test_gmm_vad_mode_monotonic(rng):
+    """Higher aggressiveness must not mark MORE frames active."""
+    from setk_tpu.enhance.vad import gmm_frame_vad
+    sr = 16000
+    tt = np.arange(2 * sr) / sr
+    sig = (np.sin(2 * np.pi * 900 * tt) *
+           (np.sin(2 * np.pi * 3 * tt) > 0) * 0.3
+           + rng.standard_normal(2 * sr) * 0.02).astype(np.float32)
+    counts = [int(np.asarray(gmm_frame_vad(sig, 320, sr=sr, mode=m)).sum())
+              for m in (0, 1, 2, 3)]
+    assert counts[0] >= counts[1] >= counts[2] >= counts[3]
+    assert counts[0] > 0
+
+
+def test_remove_silence_gmm_backend(rng):
+    sr = 16000
+    sil = rng.standard_normal(sr) * 0.001
+    tt = np.arange(sr) / sr
+    speech = (np.sin(2 * np.pi * 800 * tt) * 0.4
+              + rng.standard_normal(sr) * 0.05)
+    samps = np.concatenate([sil, speech, sil]).astype(np.float32)
+    voiced, segs = remove_silence(samps, sr=sr, backend="gmm", mode=1)
+    assert len(segs) >= 1
+    assert 0.7 * sr < voiced.shape[-1] < 1.8 * sr
