@@ -23,6 +23,7 @@ from _timing import probe_overhead_ms, timed_scan
 from setk_tpu.dsp.stft import StftConfig, forward_stft
 from setk_tpu.enhance.wpe import wpe
 from setk_tpu.ops.linalg import hermitian_solve
+from setk_tpu.ops.pallas.cholesky import solve_wpe_gram_pallas
 from setk_tpu.ops.pallas.wpe_gram import wpe_apply_pallas, wpe_gram_pallas
 
 cfg = StftConfig()
@@ -63,6 +64,11 @@ def main():
         return (o_re * 0.9999, o_im * 0.9999,
                 s + jnp.mean(jnp.abs(d)) * 1e-12)
 
+    # NOTE the sequential data dependence between the 3 inner calls in
+    # both bodies: with identical arguments XLA CSEs repeated pallas
+    # calls into ONE — the round-3 first cut of this profile measured
+    # "3x gram" at what was really 1x and mis-attributed the step
+    # budget to inter-kernel glue (doc/KERNELS.md round-3 budget).
     def grams_body(c):
         o_re, o_im, s = c
         acc = s
@@ -71,18 +77,21 @@ def main():
                                      taps=TAPS, delay=DELAY, context=1,
                                      use_g=True)
             acc = acc + jnp.mean(gr) * 1e-12
+            o_re = o_re + acc * 1e-30
         return (o_re * 0.9999, o_im * 0.9999, acc)
 
     def gram_solve_body(c):
         o_re, o_im, s = c
         acc = s
+        f_re, f_im = g_re, g_im
         for _ in range(3):
-            gr, gi = wpe_gram_pallas(o_re, o_im, g_re, g_im, n=N,
+            gr, gi = wpe_gram_pallas(o_re, o_im, f_re, f_im, n=N,
                                      taps=TAPS, delay=DELAY, context=1,
                                      use_g=True)
-            gram = (gr + 1j * gi)[:, :COLS, :COLS]
-            f = hermitian_solve(gram[:, N:, N:], gram[:, N:, :N])
-            acc = acc + jnp.mean(jnp.abs(f)) * 1e-12
+            f_re, f_im = solve_wpe_gram_pallas(gr, gi, row0=N, n=NK, k=N,
+                                               eps_rel=8e-6 * NK,
+                                               equilibrate=True)
+            acc = acc + jnp.mean(jnp.abs(f_re) + jnp.abs(f_im)) * 1e-12
         return (o_re * 0.9999, o_im * 0.9999, acc)
 
     def apply_body(c):
@@ -98,20 +107,22 @@ def main():
     timed_scan("3x gram (use_g)", grams_body, init, AUDIO, iters=6)
     timed_scan("3x gram+solve", gram_solve_body, init, AUDIO, iters=6)
     timed_scan("1x apply", apply_body, init, AUDIO, iters=12)
-    # reference points for the solver itself at this shape
-    gram_c = jax.jit(lambda r, i: (lambda gr, gi:
-                                   (gr + 1j * gi)[:, :COLS, :COLS])(
-        *wpe_gram_pallas(r, i, g_re, g_im, n=N, taps=TAPS, delay=DELAY,
-                         context=1, use_g=True)))(obs_re, obs_im)
-    gram_c = jax.device_put(gram_c)
+    # reference point for the planar solver itself at this shape
+    gr0, gi0 = jax.jit(lambda r, i: wpe_gram_pallas(
+        r, i, g_re, g_im, n=N, taps=TAPS, delay=DELAY, context=1,
+        use_g=True))(obs_re, obs_im)
+    gr0, gi0 = jax.device_put(gr0), jax.device_put(gi0)
 
     def solve_body(c):
-        g, s = c
-        f = hermitian_solve(g[:, N:, N:], g[:, N:, :N])
-        return (g * 0.9999, s + jnp.mean(jnp.abs(f)) * 1e-12)
+        gr, gi, s = c
+        fr, fi = solve_wpe_gram_pallas(gr, gi, row0=N, n=NK, k=N,
+                                       eps_rel=8e-6 * NK,
+                                       equilibrate=True)
+        return (gr * 0.9999, gi * 0.9999,
+                s + jnp.mean(jnp.abs(fr) + jnp.abs(fi)) * 1e-12)
 
-    timed_scan("1x solve (60x60 x 8224)", solve_body,
-               (gram_c, jnp.zeros(())), AUDIO, iters=12)
+    timed_scan("1x planar solve (60x60 x 8224)", solve_body,
+               (gr0, gi0, jnp.zeros(())), AUDIO, iters=12)
 
 
 if __name__ == "__main__":

@@ -103,10 +103,10 @@ def _wpe_fused(reverb, taps, delay, context, num_iters, interpret=False):
     design matrix in VMEM from the raw spectra (the XLA path's
     (.., N*K, T) tap stack costs ~35 ms to build and every Gram/apply
     pass re-streams ~2.2 GB of it — ops/pallas/wpe_gram.py)."""
+    from setk_tpu.ops.pallas.cholesky import solve_wpe_gram_pallas
     from setk_tpu.ops.pallas.wpe_gram import (wpe_apply_pallas,
                                               wpe_gram_pallas)
     *lead, f, n, t = reverb.shape
-    cols = (taps + 1) * n
     nk = n * taps
     obs_re = jnp.real(reverb).reshape(-1, n, t).astype(jnp.float32)
     obs_im = jnp.imag(reverb).reshape(-1, n, t).astype(jnp.float32)
@@ -117,12 +117,20 @@ def _wpe_fused(reverb, taps, delay, context, num_iters, interpret=False):
         gr, gi = wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n=n,
                                  taps=taps, delay=delay, context=context,
                                  use_g=i > 0, interpret=interpret)
-        gram = (gr + 1j * gi)[:, :cols, :cols]
-        corr = gram[:, n:, n:]
-        cross = gram[:, n:, :n]
-        filt = hermitian_solve(corr, cross)
-        g_re = jnp.real(filt).astype(jnp.float32)
-        g_im = jnp.imag(filt).astype(jnp.float32)
+        # planar gram-layout solve: corr/cross slicing, equilibration,
+        # loading and the normal-equation solve all stay in-kernel (the
+        # complex gram assembly + minor-dim slices + layout round trip
+        # here cost ~2 ms/iteration of XLA glue).  The loading floor
+        # scales with the 3-pass bf16 gram's per-entry error exactly as
+        # the WPD path's (sqrt(T)-accumulated two-term-split rounding,
+        # measured ~7e-4 max relative at T=501): the plain 1e-6 floor
+        # NaN'd a chirp mixture ON CHIP while CPU interpret (f32 dots)
+        # passed — conditioning bugs in bf16 kernel grams are invisible
+        # to CPU tests (CLAUDE.md).
+        g_re, g_im = solve_wpe_gram_pallas(gr, gi, row0=n, n=nk, k=n,
+                                           eps_rel=8e-6 * nk,
+                                           equilibrate=True,
+                                           interpret=interpret)
     dr, di = wpe_apply_pallas(obs_re, obs_im, g_re, g_im, n=n, taps=taps,
                               delay=delay, interpret=interpret)
     d = (dr + 1j * di)[:, :n].astype(reverb.dtype)
@@ -164,25 +172,26 @@ def _wpd_wpe_step_fused(obs_re, obs_im, lam_flat, n, taps, delay,
     """WPD's WPE step with EXTERNAL lambda through the tap-free fused
     kernels: gram (weights = the supplied lambda, no in-kernel dereverb
     power) -> lane-batched Cholesky solve -> apply."""
+    from setk_tpu.ops.pallas.cholesky import solve_wpe_gram_pallas
     from setk_tpu.ops.pallas.wpe_gram import (wpe_apply_pallas,
                                               wpe_gram_pallas)
     bins, _, t = obs_re.shape
-    cols = (taps + 1) * n
     nk = n * taps
     g0 = jnp.zeros((bins, nk, n), jnp.float32)
     gr, gi = wpe_gram_pallas(obs_re, obs_im, g0, g0, n=n, taps=taps,
                              delay=delay, context=0, use_g=False,
                              lam=lam_flat, interpret=interpret)
-    gram = (gr + 1j * gi)[:, :cols, :cols]
-    # the kernel's 3-pass bf16 Gram carries ~4e-6 per-entry relative
-    # error (the two-term bf16 split limit; measured equilibrated
-    # min-eig -1.2e-4 at cols=66 vs -1.1e-6 for the f32 XLA Gram), so
-    # the equilibrated loading floor scales to N * 8e-6
-    filt = equilibrated_hermitian_solve(gram[:, n:, n:], gram[:, n:, :n],
-                                        eps_rel=8e-6 * (cols - n))
-    dr, di = wpe_apply_pallas(obs_re, obs_im,
-                              jnp.real(filt).astype(jnp.float32),
-                              jnp.imag(filt).astype(jnp.float32),
+    # in-kernel Jacobi equilibration (exact math — the WPD 1/lambda
+    # Grams exceed plain f32 Cholesky conditioning); the kernel's
+    # 3-pass bf16 Gram carries ~4e-6 per-entry relative error (the
+    # two-term bf16 split limit; measured equilibrated min-eig -1.2e-4
+    # at cols=66 vs -1.1e-6 for the f32 XLA Gram), so the equilibrated
+    # loading floor scales to NK * 8e-6
+    g_re, g_im = solve_wpe_gram_pallas(gr, gi, row0=n, n=nk, k=n,
+                                       eps_rel=8e-6 * nk,
+                                       equilibrate=True,
+                                       interpret=interpret)
+    dr, di = wpe_apply_pallas(obs_re, obs_im, g_re, g_im,
                               n=n, taps=taps, delay=delay,
                               interpret=interpret)
     return (dr + 1j * di)[:, :n]

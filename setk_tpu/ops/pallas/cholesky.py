@@ -31,7 +31,7 @@ import numpy as np
 
 from setk_tpu.utils.common import EPSILON
 
-__all__ = ["hermitian_solve_lanes_pallas"]
+__all__ = ["hermitian_solve_lanes_pallas", "solve_wpe_gram_pallas"]
 
 _LANES = 128
 
@@ -109,6 +109,188 @@ def _solve_kernel(n, k, eps_rel, ar_ref, ai_ref, br_ref, bi_ref, xr_ref,
         inv_d = dinv_ref[i]
         xr_ref[i] = s_re * inv_d
         xi_ref[i] = s_im * inv_d
+
+
+def _gram_solve_kernel(n, k, row0, eps_rel, equilibrate, ar_ref, ai_ref,
+                       xr_ref, xi_ref, lr_ref, li_ref, dinv_ref, yr_ref,
+                       yi_ref, sc_ref):
+    """Planar WPE-gram variant of ``_solve_kernel``.
+
+    The operands are the FULL gram planes straight from the gram kernel
+    (column-major (G, G, BINS) f32, exactly Hermitian by in-gram-kernel
+    symmetrization): A = gram[row0:row0+n, row0:row0+n] and
+    b = gram[row0:row0+n, 0:k] are sliced IN-KERNEL via static offsets,
+    so the XLA side never materializes the complex gram, the minor-dim
+    corr/cross slices, or a separate rhs — the round trip that cost
+    ~15 ms/iteration of the fused WPE step (benchmarks/
+    profile_wpe_fused.py, doc/KERNELS.md round-3 budget).
+
+    ``equilibrate`` folds the symmetric Jacobi scaling D A D
+    (D = diag^{-1/2}, ops/linalg.equilibrated_hermitian_solve) into the
+    column reads — exact math, restores a unit diagonal so the relative
+    loading acts per-row (the WPD path's 1/lambda Grams need it).
+    """
+    rows = slice(row0, row0 + n)
+    if equilibrate:
+        # sc[j] = rsqrt(diag_j) (1 for empty rows), as an (n, BINS) tile
+        for j in range(n):
+            dj = ar_ref[row0 + j, row0 + j][None, :]
+            sc_ref[j] = jnp.where(dj > 1e-30, jax.lax.rsqrt(
+                jnp.maximum(dj, 1e-30)), 1.0)
+
+    def col(j):
+        """Scaled Hermitian column j of A: (n, BINS) re/im pair."""
+        s_re = ar_ref[row0 + j, rows]
+        s_im = ai_ref[row0 + j, rows]
+        if equilibrate:
+            f = sc_ref[:, 0] * sc_ref[j, 0][None, :]   # (n, BINS)
+            s_re = s_re * f
+            s_im = s_im * f
+        return s_re, s_im
+
+    # ---- diagonal loading: mean of diag(A) (= 1.0 equilibrated) ----
+    if equilibrate:
+        load = jnp.full((1, ar_ref.shape[-1]), eps_rel, jnp.float32)
+    else:
+        tr = jnp.zeros((1, ar_ref.shape[-1]), jnp.float32)
+        for j in range(n):
+            tr += ar_ref[row0 + j, row0 + j][None, :]
+        load = (eps_rel / n) * tr + EPSILON
+
+    # ---- left-looking Cholesky ----
+    for j in range(n):
+        s_re, s_im = col(j)
+
+        def col_update(q, s):
+            s_re, s_im = s
+            ljq_re = lr_ref[q, j][None, :]
+            ljq_im = li_ref[q, j][None, :]
+            lq_re = lr_ref[q]
+            lq_im = li_ref[q]
+            s_re = s_re - (lq_re * ljq_re + lq_im * ljq_im)
+            s_im = s_im - (lq_im * ljq_re - lq_re * ljq_im)
+            return (s_re, s_im)
+
+        s_re, s_im = jax.lax.fori_loop(0, j, col_update, (s_re, s_im))
+        d = s_re[j][None, :] + load
+        inv_d = jax.lax.rsqrt(jnp.maximum(d, EPSILON))
+        dinv_ref[j] = inv_d
+        lr_ref[j] = s_re * inv_d
+        li_ref[j] = s_im * inv_d
+
+    # ---- forward substitution: L y = b, b_i = gram[row0+i, 0:k] ----
+    for i in range(n):
+        s_re = jnp.concatenate([ar_ref[c, row0 + i][None, :]
+                                for c in range(k)], axis=0)   # (k, BINS)
+        s_im = jnp.concatenate([ai_ref[c, row0 + i][None, :]
+                                for c in range(k)], axis=0)
+        if equilibrate:
+            s_re = s_re * sc_ref[i, 0][None, :]
+            s_im = s_im * sc_ref[i, 0][None, :]
+
+        def fwd_update(q, s):
+            s_re, s_im = s
+            liq_re = lr_ref[q, i][None, :]
+            liq_im = li_ref[q, i][None, :]
+            yq_re = yr_ref[q]
+            yq_im = yi_ref[q]
+            s_re = s_re - (liq_re * yq_re - liq_im * yq_im)
+            s_im = s_im - (liq_re * yq_im + liq_im * yq_re)
+            return (s_re, s_im)
+
+        s_re, s_im = jax.lax.fori_loop(0, i, fwd_update, (s_re, s_im))
+        inv_d = dinv_ref[i]
+        yr_ref[i] = s_re * inv_d
+        yi_ref[i] = s_im * inv_d
+
+    # ---- backward substitution: L^H x = y (+ unscale) ----
+    for i in reversed(range(n)):
+        s_re = yr_ref[i]
+        s_im = yi_ref[i]
+
+        def bwd_update(q, s):
+            s_re, s_im = s
+            lqi_re = lr_ref[i, q][None, :]
+            lqi_im = li_ref[i, q][None, :]
+            xq_re = xr_ref[q]
+            xq_im = xi_ref[q]
+            # the scratch x rows hold the SCALED solution until the
+            # final store below
+            s_re = s_re - (lqi_re * xq_re + lqi_im * xq_im)
+            s_im = s_im - (lqi_re * xq_im - lqi_im * xq_re)
+            return (s_re, s_im)
+
+        s_re, s_im = jax.lax.fori_loop(i + 1, n, bwd_update, (s_re, s_im))
+        inv_d = dinv_ref[i]
+        xr_ref[i] = s_re * inv_d
+        xi_ref[i] = s_im * inv_d
+    if equilibrate:
+        for i in range(n):
+            xr_ref[i] = xr_ref[i] * sc_ref[i, 0][None, :]
+            xi_ref[i] = xi_ref[i] * sc_ref[i, 0][None, :]
+
+
+@partial(jax.jit, static_argnames=("row0", "n", "k", "eps_rel",
+                                   "equilibrate", "lanes", "interpret"))
+def solve_wpe_gram_pallas(gram_re, gram_im, row0, n, k,
+                          eps_rel=1e-6, equilibrate=False,
+                          lanes=512, interpret=False):
+    """Solve the WPE normal equations straight from planar gram planes.
+
+    gram_re/gram_im (BINS, G, G) f32 as emitted by
+    ops/pallas/wpe_gram.wpe_gram_pallas (rows/cols ordered
+    [current | taps], Hermitian-symmetrized in-kernel): solves
+    corr x = cross with corr = gram[row0:row0+n, row0:row0+n] and
+    cross = gram[row0:row0+n, 0:k] (the tap-vs-current block).
+    Returns planar (x_re, x_im), each (BINS, n, k) f32.
+
+    ``equilibrate`` + a matching eps_rel replaces
+    ops/linalg.equilibrated_hermitian_solve for the WPD path.
+
+    ``lanes`` is the per-grid-step bin batch: the kernel's column
+    recursion is a serial chain of tiny (N, lanes) VPU ops, so wider
+    tiles amortize the per-op issue cost (the 128-lane form measured
+    ~9 ms for 8k 60x60 systems, VPU-issue-bound, not element-bound).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bins, g, _ = gram_re.shape
+    # column-major with bins in lanes: at[c, r] = gram[r, c]
+    at_r = jnp.transpose(gram_re, (2, 1, 0))
+    at_i = jnp.transpose(gram_im, (2, 1, 0))
+    pad = (-bins) % lanes
+    if pad:
+        at_r = jnp.pad(at_r, ((0, 0), (0, 0), (0, pad)))
+        at_i = jnp.pad(at_i, ((0, 0), (0, 0), (0, pad)))
+    binsp = at_r.shape[-1]
+    nb = binsp // lanes
+    a_spec = pl.BlockSpec((g, g, lanes), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((n, k, lanes), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, k, binsp), jnp.float32)
+    scratch = [
+        pltpu.VMEM((n, n, lanes), jnp.float32),  # L re
+        pltpu.VMEM((n, n, lanes), jnp.float32),  # L im
+        pltpu.VMEM((n, 1, lanes), jnp.float32),  # 1/diag
+        pltpu.VMEM((n, k, lanes), jnp.float32),  # y re
+        pltpu.VMEM((n, k, lanes), jnp.float32),  # y im
+        pltpu.VMEM((n, 1, lanes), jnp.float32),  # equilibration scales
+    ]
+    xr, xi = pl.pallas_call(
+        partial(_gram_solve_kernel, n, k, row0, eps_rel, equilibrate),
+        grid=(nb,),
+        in_specs=[a_spec, a_spec],
+        out_specs=[x_spec, x_spec],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(at_r, at_i)
+    # (n, k, binsp) -> (BINS, n, k); the transpose is tiny (nk x N)
+    return (jnp.transpose(xr[..., :bins], (2, 0, 1)),
+            jnp.transpose(xi[..., :bins], (2, 0, 1)))
 
 
 @partial(jax.jit, static_argnames=("eps_rel", "interpret"))

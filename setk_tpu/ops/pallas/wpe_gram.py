@@ -44,7 +44,7 @@ def wpe_fused_supported(n_mics: int, taps: int) -> bool:
 
 
 def _shift_row(row, d, t):
-    """row (1, T) delayed by d frames with zero head (tap semantics of
+    """row (R, T) delayed by d frames with zero head (tap semantics of
     compute_tap_mat: tap[t] = y[t - d], 0 for t < d)."""
     if d == 0:
         return row
@@ -52,28 +52,32 @@ def _shift_row(row, d, t):
 
 
 def _design_rows(obs_re_ref, obs_im_ref, b_i, n, taps, delay, t):
-    """[current mics | taps] rows for one bin: lists of (1, T) values."""
-    cur_re = [obs_re_ref[b_i, m][None] for m in range(n)]
-    cur_im = [obs_im_ref[b_i, m][None] for m in range(n)]
-    a_re = list(cur_re)
-    a_im = list(cur_im)
+    """[current mics | taps] blocks for one bin: lists of (n, T) tiles.
+
+    Whole-mic-block shifts (one padded slice per TAP, not per tap x mic
+    row): the per-(1, T)-row form issued 66 tiny Mosaic ops per bin and
+    the gram kernel measured VPU-issue-bound, ~19 ms/pass at the bench
+    shape (benchmarks/profile_wpe_fused.py, round-3 budget).
+    """
+    cur_re = obs_re_ref[b_i]                          # (n, T)
+    cur_im = obs_im_ref[b_i]
+    a_re = [cur_re]
+    a_im = [cur_im]
     for k in range(taps):
         d = delay + k
-        for m in range(n):
-            a_re.append(_shift_row(cur_re[m], d, t))
-            a_im.append(_shift_row(cur_im[m], d, t))
+        a_re.append(_shift_row(cur_re, d, t))
+        a_im.append(_shift_row(cur_im, d, t))
     return a_re, a_im
 
 
 def _dereverb(a_re, a_im, g_re_ref, g_im_ref, b_i, n, taps, t):
     """d = current - taps @ conj(G) for one bin: (N_pad=8, T) planar."""
     nk = n * taps
-    cur_re = jnp.concatenate(a_re[:n] + [jnp.zeros((8 - n, t),
-                                                   jnp.float32)], axis=0)
-    cur_im = jnp.concatenate(a_im[:n] + [jnp.zeros((8 - n, t),
-                                                   jnp.float32)], axis=0)
-    tap_re = jnp.concatenate(a_re[n:], axis=0)        # (NK, T)
-    tap_im = jnp.concatenate(a_im[n:], axis=0)
+    pad8 = jnp.zeros((8 - n, t), jnp.float32)
+    cur_re = jnp.concatenate([a_re[0], pad8], axis=0)
+    cur_im = jnp.concatenate([a_im[0], pad8], axis=0)
+    tap_re = jnp.concatenate(a_re[1:], axis=0)        # (NK, T)
+    tap_im = jnp.concatenate(a_im[1:], axis=0)
     g_re = g_re_ref[b_i]                              # (NK, N)
     g_im = g_im_ref[b_i]
     gp_re = jnp.pad(g_re, ((0, 0), (0, 8 - n)))
@@ -137,12 +141,9 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
                                        b_i, n, taps, t)
             else:
                 # first iteration: d = the observations themselves
-                d_re = jnp.concatenate(
-                    a_re[:n] + [jnp.zeros((8 - n, t), jnp.float32)],
-                    axis=0)
-                d_im = jnp.concatenate(
-                    a_im[:n] + [jnp.zeros((8 - n, t), jnp.float32)],
-                    axis=0)
+                pad8 = jnp.zeros((8 - n, t), jnp.float32)
+                d_re = jnp.concatenate([a_re[0], pad8], axis=0)
+                d_im = jnp.concatenate([a_im[0], pad8], axis=0)
             sw = _lambda_weights(d_re, d_im, n, context, t)
 
         aw_re = jnp.concatenate(a_re, axis=0) * sw    # (cols, T)
@@ -161,6 +162,12 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
         #                           im = AiAr^T - ArAi^T
         g_re = dot_nt(r0, r1) + dot_nt(i0, i1)        # (cols, cols)
         g_im = dot_nt(i0, r1) - dot_nt(r0, i1)
+        # symmetrize HERE (tiny in-VMEM transposes): the downstream
+        # planar solve (ops/pallas/cholesky.solve_wpe_gram_pallas)
+        # consumes the planes as-is, and the XLA-side 0.5 (A + A^H)
+        # pass on the assembled complex gram cost a full HBM round trip
+        g_re = 0.5 * (g_re + g_re.T)
+        g_im = 0.5 * (g_im - g_im.T)
         gram_re_ref[b_i, 0:cols, 0:cols] = g_re
         gram_im_ref[b_i, 0:cols, 0:cols] = g_im
 

@@ -739,3 +739,47 @@ def test_pmwf_solve_kernel_powers(rng):
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=2e-3 * scale)
     np.testing.assert_allclose(got, got_ein, atol=1e-4 * scale)
+
+
+def test_solve_wpe_gram_planar(rng):
+    """Planar gram-layout solve (in-kernel slicing + optional
+    equilibration) vs the complex-assembly reference path."""
+    import jax.numpy as jnp
+    from setk_tpu.ops.linalg import (equilibrated_hermitian_solve,
+                                     hermitian_solve)
+    from setk_tpu.ops.pallas.cholesky import solve_wpe_gram_pallas
+    BINS, N0, NK = 5, 3, 9
+    G, COLS = 16, N0 + NK          # padded plane size vs valid block
+    a = (rng.standard_normal((BINS, COLS, 6)) +
+         1j * rng.standard_normal((BINS, COLS, 6)))
+    gram = (a @ np.conj(a.transpose(0, 2, 1))).astype(np.complex64)
+    gram += np.eye(COLS, dtype=np.complex64) * 0.5
+    planes_re = np.zeros((BINS, G, G), np.float32)
+    planes_im = np.zeros((BINS, G, G), np.float32)
+    planes_re[:, :COLS, :COLS] = gram.real
+    planes_im[:, :COLS, :COLS] = gram.imag
+    ref = np.asarray(hermitian_solve(
+        jnp.asarray(gram[:, N0:, N0:]), jnp.asarray(gram[:, N0:, :N0]),
+        use_pallas=False))
+    xr, xi = solve_wpe_gram_pallas(jnp.asarray(planes_re),
+                                   jnp.asarray(planes_im),
+                                   row0=N0, n=NK, k=N0, interpret=True)
+    got = np.asarray(xr) + 1j * np.asarray(xi)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+    # equilibrated variant on a badly row-scaled gram (the WPD regime)
+    scale = np.exp(rng.uniform(-6, 6, size=(BINS, COLS))).astype(np.float32)
+    gram_s = gram * scale[:, :, None] * scale[:, None, :]
+    planes_re[:, :COLS, :COLS] = gram_s.real
+    planes_im[:, :COLS, :COLS] = gram_s.imag
+    ref_e = np.asarray(equilibrated_hermitian_solve(
+        jnp.asarray(gram_s[:, N0:, N0:]),
+        jnp.asarray(gram_s[:, N0:, :N0]), eps_rel=1e-5))
+    xr, xi = solve_wpe_gram_pallas(jnp.asarray(planes_re),
+                                   jnp.asarray(planes_im),
+                                   row0=N0, n=NK, k=N0, eps_rel=1e-5,
+                                   equilibrate=True, interpret=True)
+    got_e = np.asarray(xr) + 1j * np.asarray(xi)
+    rel = (np.abs(got_e - ref_e).max() /
+           max(np.abs(ref_e).max(), 1e-9))
+    assert rel < 5e-3, rel
+    assert np.isfinite(got_e).all()
