@@ -2,19 +2,40 @@
 """Golden-asset parity ON THE REAL CHIP.
 
 Runs the reference's committed doc wavs
-(/root/reference/doc/adaptive_beamformer/asset) through the fused TPU
-kernel pipelines (CPU tests exercise interpret mode; this validates the
-actual Mosaic lowering on real data).  Measured 2026-08-19:
+(/root/reference/doc/*/asset) through the fused TPU kernel pipelines
+(CPU tests exercise interpret mode; this validates the actual Mosaic
+lowering on real data), plus fused-vs-XLA cross-checks for the kernels
+with no committed golden (EM, online MVDR, the LSTM sequence kernel).
 
-    mvdr.wav      magnitude cosine 0.9654
-    gevd.wav      magnitude cosine 0.9266   (phase-anchored GEV vs the
-                                             golden's scipy phases)
-    gevd-ban.wav  magnitude cosine 0.9592
-    pmwf-0.wav    magnitude cosine 1.0000
+Rows and bars (per-row, ratcheted to measured-minus-margin):
+
+    mvdr.wav       magnitude cosine (measured 0.9654, bar 0.96)
+    gevd.wav       magnitude cosine (measured 0.9266, bar 0.925 — NOT a
+                   kernel defect: the host XLA GEVD scores the identical
+                   0.9266 on this input, and per-bin |enhanced| of ours
+                   vs the reference numpy GevdBeamformer on the SAME
+                   mask agrees at 0.9978; the residual is the
+                   deterministic mic-0 phase anchor vs LAPACK's
+                   arbitrary per-bin eigenvector phases, which
+                   overlap-add mixes into magnitudes.  Decomposition in
+                   doc/KERNELS.md "Round-3 findings".)
+    gevd-ban.wav   magnitude cosine (measured 0.9592, bar 0.955)
+    pmwf-0.wav     magnitude cosine (measured 1.0000, bar 0.995)
+    cacgmm fused   mask MAD/corr vs the XLA scan path
+    cgmm fused     mask MAD/corr vs the XLA scan path
+    wpe fused      Si-SNR vs doc/wpe/asset/wpe_egs.wav (bar 38 dB, the
+                   CPU golden floor) AND vs the host XLA WPE path
+    wpd fused      magnitude cosine vs doc/wpe/asset/wpd_egs.wav
+                   (cascaded-EM chaos bounds this: see KERNELS.md)
+    online mvdr    Si-SNR of the fused chunked-EMA path vs the host XLA
+                   online path (apply-supervised-mvdr.cc:196-226
+                   semantics)
+    lstm grads     fwd + d/dxg + d/dWh parity of ops/pallas/lstm_seq
+                   vs the XLA scan in the REAL bf16 configuration
 
 Run: python benchmarks/golden_on_chip.py [out.json]
-(real TPU, ~10 min compile; writes a JSON artifact when a path is given
-— the per-round GOLDEN_ONCHIP_r*.json evidence files)
+(real TPU, ~15-25 min compile; writes a JSON artifact when a path is
+given — the per-round GOLDEN_ONCHIP_r*.json evidence files)
 """
 import json
 import os
@@ -25,8 +46,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from setk_tpu.dsp.stft import StftConfig, forward_stft
+from setk_tpu.dsp.stft import StftConfig, forward_stft, inverse_stft
 from setk_tpu.enhance.cluster import cacgmm_em, cgmm_em
+from setk_tpu.enhance.wpe import wpd, wpe
 from setk_tpu.io.wave import read_wav
 from setk_tpu.parallel.enhance_step import enhance_batch
 from setk_tpu.utils.hostdev import on_host
@@ -54,52 +76,199 @@ wavb = jnp.asarray(wav[None])            # (1, N, S) f32
 maskb = jnp.asarray(mask[None])          # (1, T, F)
 
 
-def mag_cos(out, golden):
+def mag_cos(out, golden, c=cfg):
     with on_host():
-        ma = np.abs(np.asarray(forward_stft(jnp.asarray(out), cfg)))
-        mb = np.abs(np.asarray(forward_stft(jnp.asarray(golden[:s]), cfg)))
+        ma = np.abs(np.asarray(forward_stft(jnp.asarray(out), c)))
+        mb = np.abs(np.asarray(forward_stft(jnp.asarray(golden), c)))
     t = min(ma.shape[0], mb.shape[0])
     a, b = ma[:t].ravel(), mb[:t].ravel()
     return float(np.inner(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
 
 
-for name, golden_file, kw in (("mvdr", "mvdr.wav", {}),
-                              ("gevd", "gevd.wav", {}),
-                              ("gevd", "gevd-ban.wav", {"ban": True}),
-                              ("pmwf-0", "pmwf-0.wav", {})):
+def si_snr_np(x, ref):
+    t = min(len(x), len(ref))
+    x, ref = x[:t] - x[:t].mean(), ref[:t] - ref[:t].mean()
+    p = np.inner(x, ref) * ref / (np.linalg.norm(ref) ** 2 + 1e-12)
+    return float(20 * np.log10(np.linalg.norm(p) /
+                               (np.linalg.norm(x - p) + 1e-12)))
+
+
+for name, golden_file, bar, kw in (
+        ("mvdr", "mvdr.wav", 0.96, {}),
+        ("gevd", "gevd.wav", 0.925, {}),
+        ("gevd", "gevd-ban.wav", 0.955, {"ban": True}),
+        ("pmwf-0", "pmwf-0.wav", 0.995, {})):
     fn = jax.jit(lambda w, m, _n=name, _kw=dict(kw): enhance_batch(
         w, m, cfg, beamformer=_n, **_kw))
     out = np.asarray(fn(wavb, maskb))[0]
     golden = read_wav(f"{ASSET}/adaptive_beamformer/asset/{golden_file}")
-    cos = mag_cos(out, golden)
-    status = "OK" if cos > 0.92 else "LOW"
-    print(f"{golden_file:>14}: on-chip magnitude cosine {cos:.4f}  {status}",
-          flush=True)
+    cos = mag_cos(out, golden[:s])
+    status = "OK" if cos > bar else "LOW"
+    print(f"{golden_file:>14}: on-chip magnitude cosine {cos:.4f} "
+          f"(bar {bar})  {status}", flush=True)
     assert np.isfinite(out).all()
-    RESULTS[golden_file] = {"magnitude_cosine": round(cos, 4),
-                            "pass": cos > 0.92}
+    RESULTS[golden_file] = {"magnitude_cosine": round(cos, 4), "bar": bar,
+                            "pass": cos > bar}
 
-# --- fused CACGMM ON the chip vs the host XLA path on the same data ----
+# --- fused EM (CACGMM and CGMM) ON the chip vs the host XLA path -------
 # (the in-kernel Jacobi EM's Mosaic lowering on real audio; CPU tests
 # only see interpret mode)
-with on_host():
-    g_host, q_host = cacgmm_em(jnp.asarray(obs), 2, num_iters=20,
-                               use_fused=False)
-    g_host, q_host = np.asarray(g_host), np.asarray(q_host)
 obs_planar = (jnp.asarray(np.real(obs)), jnp.asarray(np.imag(obs)))
-fn_em = jax.jit(lambda re, im: cacgmm_em(
-    jax.lax.complex(re, im), 2, num_iters=20, use_fused=True))
-g_chip, q_chip = fn_em(*obs_planar)
-g_chip, q_chip = np.asarray(g_chip), np.asarray(q_chip)
-mad = float(np.mean(np.abs(g_chip - g_host)))
-corr = float(np.corrcoef(g_chip.ravel(), g_host.ravel())[0, 1])
-dq = float(np.max(np.abs(q_chip - q_host)))
-em_ok = mad < 0.02 and corr > 0.99 and dq < 0.05
-print(f"cacgmm fused-vs-xla: mask MAD {mad:.5f} corr {corr:.5f} "
-      f"max|dQ| {dq:.4f}  {'OK' if em_ok else 'LOW'}", flush=True)
-RESULTS["cacgmm_fused"] = {"mask_mad": round(mad, 5),
-                           "mask_corr": round(corr, 5),
-                           "max_q_diff": round(dq, 4), "pass": em_ok}
+for mdl, em in (("cacgmm", cacgmm_em), ("cgmm", cgmm_em)):
+    with on_host():
+        g_host, q_host = em(jnp.asarray(obs), 2, num_iters=20,
+                            use_fused=False)
+        g_host, q_host = np.asarray(g_host), np.asarray(q_host)
+    fn_em = jax.jit(lambda re, im, _em=em: _em(
+        jax.lax.complex(re, im), 2, num_iters=20, use_fused=True))
+    g_chip, q_chip = fn_em(*obs_planar)
+    g_chip, q_chip = np.asarray(g_chip), np.asarray(q_chip)
+    mad = float(np.mean(np.abs(g_chip - g_host)))
+    corr = float(np.corrcoef(g_chip.ravel(), g_host.ravel())[0, 1])
+    dq = float(np.max(np.abs(q_chip - q_host)))
+    em_ok = mad < 0.02 and corr > 0.99 and dq < 0.05
+    print(f"{mdl} fused-vs-xla: mask MAD {mad:.5f} corr {corr:.5f} "
+          f"max|dQ| {dq:.4f}  {'OK' if em_ok else 'LOW'}", flush=True)
+    RESULTS[f"{mdl}_fused"] = {"mask_mad": round(mad, 5),
+                               "mask_corr": round(corr, 5),
+                               "max_q_diff": round(dq, 4), "pass": em_ok}
+
+# --- fused online (chunked-EMA) MVDR vs the host XLA online path -------
+fn_on = jax.jit(lambda w, m: enhance_batch(w, m, cfg, chunk_size=32))
+out_on = np.asarray(fn_on(wavb, maskb))[0]
+with on_host():
+    ref_on = np.asarray(enhance_batch(jnp.asarray(wav[None]),
+                                      jnp.asarray(mask[None]), cfg,
+                                      chunk_size=32))[0]
+si_on = si_snr_np(out_on, ref_on)
+on_ok = si_on > 40.0 and np.isfinite(out_on).all()
+print(f"online mvdr fused-vs-xla: Si-SNR {si_on:.1f} dB (bar 40)  "
+      f"{'OK' if on_ok else 'LOW'}", flush=True)
+RESULTS["online_mvdr_fused"] = {"si_snr_vs_xla_db": round(si_on, 1),
+                                "bar_db": 40.0, "pass": on_ok}
+
+# --- fused WPE vs the committed golden AND the host XLA path -----------
+cfg_w = StftConfig(frame_len=512, frame_hop=128)
+wav_w = read_wav(f"{ASSET}/wpe/asset/egs.wav")
+golden_w = read_wav(f"{ASSET}/wpe/asset/wpe_egs.wav")
+with on_host():
+    spec_w = np.asarray(forward_stft(jnp.asarray(wav_w), cfg_w))
+obs_w = spec_w.transpose(2, 0, 1).astype(np.complex64)  # (F, N, T)
+fn_wpe = jax.jit(lambda re, im: (lambda d: (jnp.real(d), jnp.imag(d)))(
+    wpe(jax.lax.complex(re, im), taps=10, delay=3, context=1,
+        num_iters=3, use_fused=True)))
+dr, di = fn_wpe(jnp.asarray(np.real(obs_w)), jnp.asarray(np.imag(obs_w)))
+der = np.asarray(dr) + 1j * np.asarray(di)
+with on_host():
+    out_w = np.asarray(inverse_stft(
+        jnp.asarray(der.transpose(1, 2, 0)), cfg_w,
+        nsamps=wav_w.shape[-1]))
+    der_x = np.asarray(wpe(jnp.asarray(obs_w), taps=10, delay=3,
+                           context=1, num_iters=3, use_fused=False))
+    out_x = np.asarray(inverse_stft(
+        jnp.asarray(der_x.transpose(1, 2, 0)), cfg_w,
+        nsamps=wav_w.shape[-1]))
+si_wg = si_snr_np(out_w[0], golden_w[0])
+si_wx = si_snr_np(out_w[0], out_x[0])
+wpe_ok = si_wg > 38.0 and si_wx > 40.0
+print(f"wpe fused: Si-SNR vs golden {si_wg:.1f} dB (bar 38), "
+      f"vs host XLA {si_wx:.1f} dB (bar 40)  "
+      f"{'OK' if wpe_ok else 'LOW'}", flush=True)
+RESULTS["wpe_fused"] = {"si_snr_vs_golden_db": round(si_wg, 1),
+                        "si_snr_vs_xla_db": round(si_wx, 1),
+                        "pass": wpe_ok}
+
+# --- fused WPD vs the committed golden ---------------------------------
+# (doc recipe: apply_wpd.py --frame-len 512 --taps 10 --delay 3
+#  --context 1 --wpd-iters 2 --cgmm-iters 10; cascaded-EM arithmetic
+#  chaos bounds waveform agreement — magnitude cosine is the surface,
+#  see doc/KERNELS.md "Round-3 findings")
+golden_d = read_wav(f"{ASSET}/wpe/asset/wpd_egs.wav")
+with on_host():
+    spec_d = np.asarray(forward_stft(jnp.asarray(wav_w), cfg))
+obs_d = spec_d.transpose(2, 0, 1).astype(np.complex64)
+fn_wpd = jax.jit(lambda re, im: (lambda me: (jnp.real(me[1]),
+                                             jnp.imag(me[1])))(
+    wpd(jax.lax.complex(re, im), cgmm_iters=10, wpd_iters=2, taps=10,
+        delay=3, context=1, use_fused=True)))
+er, ei = fn_wpd(jnp.asarray(np.real(obs_d)), jnp.asarray(np.imag(obs_d)))
+enh_d = np.asarray(er) + 1j * np.asarray(ei)          # (F, T)
+with on_host():
+    out_d = np.asarray(inverse_stft(jnp.asarray(enh_d.T), cfg,
+                                    nsamps=wav_w.shape[-1]))
+cos_d = mag_cos(out_d, golden_d)
+wpd_ok = cos_d > 0.90 and np.isfinite(out_d).all()
+print(f"wpd fused: magnitude cosine vs golden {cos_d:.4f} (bar 0.90)  "
+      f"{'OK' if wpd_ok else 'LOW'}", flush=True)
+RESULTS["wpd_fused"] = {"magnitude_cosine": round(cos_d, 4),
+                        "bar": 0.90, "pass": wpd_ok}
+
+# --- LSTM sequence kernel: fwd + gradient parity in the real bf16
+#     configuration (CPU tests only check interpret mode at f32) -------
+from setk_tpu.models.mask_net import _lstm_gates, _rec_matmul  # noqa: E402
+from setk_tpu.ops.pallas.lstm_seq import lstm_seq_bidir  # noqa: E402
+
+T_, B_, H_ = 96, 64, 512
+rng = np.random.default_rng(0)
+# pre-round the gate pre-activations to bf16 values so both paths see
+# IDENTICAL inputs (the kernel path feeds bf16 projections)
+xgf = jnp.asarray(rng.standard_normal((T_, B_, 4 * H_)) * 0.25,
+                  jnp.bfloat16).astype(jnp.float32)
+xgb = jnp.asarray(rng.standard_normal((T_, B_, 4 * H_)) * 0.25,
+                  jnp.bfloat16).astype(jnp.float32)
+whf = jnp.asarray(rng.standard_normal((H_, 4 * H_)) * 0.05, jnp.float32)
+whb = jnp.asarray(rng.standard_normal((H_, 4 * H_)) * 0.05, jnp.float32)
+r1 = jnp.asarray(rng.standard_normal((T_, B_, H_)) * 0.1, jnp.float32)
+r2 = jnp.asarray(rng.standard_normal((T_, B_, H_)) * 0.1, jnp.float32)
+
+
+def loss_kernel(xf, xb, wf, wb):
+    yf, yb = lstm_seq_bidir(xf.astype(jnp.bfloat16),
+                            xb.astype(jnp.bfloat16),
+                            wf.astype(jnp.bfloat16),
+                            wb.astype(jnp.bfloat16))
+    return jnp.sum(yf.astype(jnp.float32) * r1 +
+                   yb.astype(jnp.float32) * r2)
+
+
+def loss_scan(xf, xb, wf, wb):
+    h0 = jnp.zeros((B_, H_), jnp.float32)
+
+    def step(carry, xs):
+        hf, cf, hb, cb = carry
+        xf_t, xb_t = xs
+        hf, cf = _lstm_gates(xf_t + _rec_matmul(hf, wf), cf)
+        hb, cb = _lstm_gates(xb_t + _rec_matmul(hb, wb), cb)
+        return (hf, cf, hb, cb), (hf, hb)
+
+    _, (yf, yb) = jax.lax.scan(step, (h0, h0, h0, h0),
+                               (xf, jnp.flip(xb, 0)))
+    return jnp.sum(yf * r1 + jnp.flip(yb, 0) * r2)
+
+
+vg_k = jax.jit(jax.value_and_grad(loss_kernel, argnums=(0, 1, 2, 3)))
+vg_s = jax.jit(jax.value_and_grad(loss_scan, argnums=(0, 1, 2, 3)))
+vk, gk = vg_k(xgf, xgb, whf, whb)
+vs_, gs = vg_s(xgf, xgb, whf, whb)
+rel_v = float(abs(vk - vs_) / (abs(vs_) + 1e-12))
+coss, rels = [], []
+for a, b in zip(gk, gs):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    coss.append(float(np.inner(a, b) /
+                      (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)))
+    rels.append(float(np.linalg.norm(a - b) /
+                      (np.linalg.norm(b) + 1e-30)))
+lstm_ok = rel_v < 2e-2 and min(coss) > 0.995
+print(f"lstm_seq bf16 fused-vs-scan: loss rel {rel_v:.2e}, grad "
+      f"cosines {['%.5f' % c for c in coss]}, grad rel-l2 "
+      f"{['%.3e' % r for r in rels]}  "
+      f"{'OK' if lstm_ok else 'LOW'}", flush=True)
+RESULTS["lstm_seq_grads"] = {
+    "loss_rel": round(rel_v, 6),
+    "grad_cosines": [round(c, 5) for c in coss],
+    "grad_rel_l2": [round(r, 5) for r in rels],
+    "pass": lstm_ok}
 
 if len(sys.argv) > 1:
     with open(sys.argv[1], "w") as f:
