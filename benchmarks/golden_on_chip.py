@@ -141,7 +141,7 @@ with on_host():
                                       jnp.asarray(mask[None]), cfg,
                                       chunk_size=32))[0]
 si_on = si_snr_np(out_on, ref_on)
-on_ok = si_on > 40.0 and np.isfinite(out_on).all()
+on_ok = bool(si_on > 40.0 and np.isfinite(out_on).all())
 print(f"online mvdr fused-vs-xla: Si-SNR {si_on:.1f} dB (bar 40)  "
       f"{'OK' if on_ok else 'LOW'}", flush=True)
 RESULTS["online_mvdr_fused"] = {"si_snr_vs_xla_db": round(si_on, 1),
@@ -197,11 +197,41 @@ with on_host():
     out_d = np.asarray(inverse_stft(jnp.asarray(enh_d.T), cfg,
                                     nsamps=wav_w.shape[-1]))
 cos_d = mag_cos(out_d, golden_d)
-wpd_ok = cos_d > 0.90 and np.isfinite(out_d).all()
+wpd_ok = bool(cos_d > 0.90 and np.isfinite(out_d).all())
 print(f"wpd fused: magnitude cosine vs golden {cos_d:.4f} (bar 0.90)  "
       f"{'OK' if wpd_ok else 'LOW'}", flush=True)
 RESULTS["wpd_fused"] = {"magnitude_cosine": round(cos_d, 4),
                         "bar": 0.90, "pass": wpd_ok}
+
+# --- fused WPE chirp-conditioning robustness (chip-only failure
+#     class: bf16 gram error under near-singular tonal solves; the
+#     2-term-split gram NaN'd here at 1e-6 loading) ---------------------
+sr_c = 16000
+tt_c = np.arange(4 * sr_c) / sr_c
+rng_c = np.random.default_rng(0)
+chirp = np.sin(2 * np.pi * (300 + 600 * tt_c) * tt_c).astype(
+    np.float32) * 0.5
+mix_c = chirp[None] + rng_c.standard_normal((6, 4 * sr_c)).astype(
+    np.float32) * 0.25
+with on_host():
+    spec_c = np.asarray(forward_stft(jnp.asarray(mix_c), cfg))
+obs_c = spec_c.transpose(2, 0, 1).astype(np.complex64)
+fn_c = jax.jit(lambda re, im: (lambda d: (jnp.real(d), jnp.imag(d)))(
+    wpe(jax.lax.complex(re, im), taps=10, delay=3, context=1,
+        num_iters=3, use_fused=True)))
+cr_, ci_ = fn_c(jnp.asarray(obs_c.real), jnp.asarray(obs_c.imag))
+der_c = np.asarray(cr_) + 1j * np.asarray(ci_)
+with on_host():
+    der_cx = np.asarray(wpe(jnp.asarray(obs_c), taps=10, delay=3,
+                            context=1, num_iters=3, use_fused=False))
+rel_c = float(np.abs(der_c - der_cx).max() / np.abs(der_cx).max())
+chirp_ok = bool(np.isfinite(der_c).all() and rel_c < 0.05)
+print(f"wpe fused chirp torture: finite {bool(np.isfinite(der_c).all())}"
+      f", vs host XLA max rel {rel_c:.2e} (bar 0.05)  "
+      f"{'OK' if chirp_ok else 'LOW'}", flush=True)
+RESULTS["wpe_fused_chirp"] = {"max_rel_vs_xla": round(rel_c, 6),
+                              "finite": bool(np.isfinite(der_c).all()),
+                              "pass": chirp_ok}
 
 # --- LSTM sequence kernel: fwd + gradient parity in the real bf16
 #     configuration (CPU tests only check interpret mode at f32) -------
@@ -273,7 +303,8 @@ RESULTS["lstm_seq_grads"] = {
 if len(sys.argv) > 1:
     with open(sys.argv[1], "w") as f:
         json.dump({"results": RESULTS,
-                   "all_pass": all(r["pass"] for r in RESULTS.values())},
-                  f, indent=1)
+                   "all_pass": all(bool(r["pass"])
+                                   for r in RESULTS.values())},
+                  f, indent=1, default=lambda o: o.item())
     print(f"wrote {sys.argv[1]}", flush=True)
 print("GOLDEN-ON-CHIP DONE")

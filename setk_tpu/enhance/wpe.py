@@ -117,19 +117,16 @@ def _wpe_fused(reverb, taps, delay, context, num_iters, interpret=False):
         gr, gi = wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n=n,
                                  taps=taps, delay=delay, context=context,
                                  use_g=i > 0, interpret=interpret)
-        # planar gram-layout solve: corr/cross slicing, equilibration,
-        # loading and the normal-equation solve all stay in-kernel (the
-        # complex gram assembly + minor-dim slices + layout round trip
-        # here cost ~2 ms/iteration of XLA glue).  The loading floor
-        # scales with the 3-pass bf16 gram's per-entry error exactly as
-        # the WPD path's (sqrt(T)-accumulated two-term-split rounding,
-        # measured ~7e-4 max relative at T=501): the plain 1e-6 floor
-        # NaN'd a chirp mixture ON CHIP while CPU interpret (f32 dots)
-        # passed — conditioning bugs in bf16 kernel grams are invisible
-        # to CPU tests (CLAUDE.md).
+        # planar gram-layout solve: corr/cross slicing, loading and the
+        # normal-equation solve all stay in-kernel (the complex gram
+        # assembly + minor-dim slices + layout round trip here cost
+        # ~2 ms/iteration of XLA glue).  The gram kernel's THREE-term
+        # bf16 split keeps entries f32-grade, so the plain 1e-6
+        # hermitian loading of the XLA path applies unchanged — the
+        # 2-term split needed a 8e-6*NK floor that NaN-proofed a chirp
+        # mixture but cost ~20 dB of golden speech parity (filter
+        # shift is O(eps * cond); doc/KERNELS.md round-3).
         g_re, g_im = solve_wpe_gram_pallas(gr, gi, row0=n, n=nk, k=n,
-                                           eps_rel=8e-6 * nk,
-                                           equilibrate=True,
                                            interpret=interpret)
     dr, di = wpe_apply_pallas(obs_re, obs_im, g_re, g_im, n=n, taps=taps,
                               delay=delay, interpret=interpret)
@@ -182,13 +179,12 @@ def _wpd_wpe_step_fused(obs_re, obs_im, lam_flat, n, taps, delay,
                              delay=delay, context=0, use_g=False,
                              lam=lam_flat, interpret=interpret)
     # in-kernel Jacobi equilibration (exact math — the WPD 1/lambda
-    # Grams exceed plain f32 Cholesky conditioning); the kernel's
-    # 3-pass bf16 Gram carries ~4e-6 per-entry relative error (the
-    # two-term bf16 split limit; measured equilibrated min-eig -1.2e-4
-    # at cols=66 vs -1.1e-6 for the f32 XLA Gram), so the equilibrated
-    # loading floor scales to NK * 8e-6
+    # Grams exceed plain f32 Cholesky conditioning); with the gram
+    # kernel's 3-term bf16 split the entries are f32-grade, so the
+    # loading floor is the same 4*NK*f32_eps the equilibrated XLA path
+    # clamps to (the 2-term split needed NK*8e-6, ~16x more)
     g_re, g_im = solve_wpe_gram_pallas(gr, gi, row0=n, n=nk, k=n,
-                                       eps_rel=8e-6 * nk,
+                                       eps_rel=4.0 * nk * EPSILON,
                                        equilibrate=True,
                                        interpret=interpret)
     dr, di = wpe_apply_pallas(obs_re, obs_im, g_re, g_im,

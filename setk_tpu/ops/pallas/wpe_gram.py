@@ -149,15 +149,27 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
         aw_re = jnp.concatenate(a_re, axis=0) * sw    # (cols, T)
         aw_im = jnp.concatenate(a_im, axis=0) * sw
 
-        def stack3(x, order):
+        # THREE-term bf16 split (6-pass K-stack): the 2-term 3-pass
+        # form's sqrt(T)-accumulated error (~7e-4 max rel at T=501)
+        # forced a 8e-6*NK loading floor on the solve, and THAT loading
+        # cost ~20 dB of golden parity on real speech (the WPE filter
+        # shift is O(eps * cond)).  The 3-term split restores
+        # ~f32-grade entries (missing terms are <= 2^-24 relative) for
+        # ~0.5 ms more MXU in a ~19 ms VPU-bound pass — the solve runs
+        # the plain 1e-6 hermitian loading again, matching the XLA
+        # path bit-for-policy.  Stack orders: A=[h,h,h,m,m,l] against
+        # B=[h,m,l,h,m,h] -> hh+hm+hl+mh+mm+lh.
+        def stack6(x, side):
             h = x.astype(jnp.bfloat16)
-            l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
-            # K-stack along the contraction (lane/T) axis
-            return jnp.concatenate([h, h, l] if order == 0 else
-                                   [h, l, h], axis=1)
+            r1_ = x - h.astype(jnp.float32)
+            m = r1_.astype(jnp.bfloat16)
+            l = (r1_ - m.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = ([h, h, h, m, m, l] if side == 0 else
+                     [h, m, l, h, m, h])
+            return jnp.concatenate(parts, axis=1)
 
-        r0, i0 = stack3(aw_re, 0), stack3(aw_im, 0)
-        r1, i1 = stack3(aw_re, 1), stack3(aw_im, 1)
+        r0, i0 = stack6(aw_re, 0), stack6(aw_im, 0)
+        r1, i1 = stack6(aw_re, 1), stack6(aw_im, 1)
         # gram = (Aw)(Aw)^H over t: re = ArAr^T + AiAi^T,
         #                           im = AiAr^T - ArAi^T
         g_re = dot_nt(r0, r1) + dot_nt(i0, i1)        # (cols, cols)
