@@ -80,11 +80,16 @@ def bench(arch, hidden=512, num_layers=3):
 
 def main():
     rows = {arch: bench(arch) for arch in ("dnn", "blstm")}
+    from _timing import probe_overhead_ms
+    probe = probe_overhead_ms()
+    print(f"probe: fixed chained-dispatch overhead {probe:.2f} ms",
+          flush=True)
     if len(sys.argv) > 1:  # optional JSON artifact path (per-round)
         import json
         with open(sys.argv[1], "w") as fd:
-            json.dump({"shape": {"B": B, "T": T, "F": F}, "rows": rows},
-                      fd, indent=1)
+            json.dump({"shape": {"B": B, "T": T, "F": F}, "rows": rows,
+                       "probe_overhead_ms": round(probe, 2)}, fd,
+                      indent=1)
 
 
 if __name__ == "__main__":

@@ -159,17 +159,23 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
         # the plain 1e-6 hermitian loading again, matching the XLA
         # path bit-for-policy.  Stack orders: A=[h,h,h,m,m,l] against
         # B=[h,m,l,h,m,h] -> hh+hm+hl+mh+mm+lh.
-        def stack6(x, side):
+        def split3(x):
             h = x.astype(jnp.bfloat16)
-            r1_ = x - h.astype(jnp.float32)
-            m = r1_.astype(jnp.bfloat16)
-            l = (r1_ - m.astype(jnp.float32)).astype(jnp.bfloat16)
+            rem = x - h.astype(jnp.float32)
+            m = rem.astype(jnp.bfloat16)
+            l = (rem - m.astype(jnp.float32)).astype(jnp.bfloat16)
+            return h, m, l
+
+        def stack6(hml, side):
+            h, m, l = hml
             parts = ([h, h, h, m, m, l] if side == 0 else
                      [h, m, l, h, m, h])
             return jnp.concatenate(parts, axis=1)
 
-        r0, i0 = stack6(aw_re, 0), stack6(aw_im, 0)
-        r1, i1 = stack6(aw_re, 1), stack6(aw_im, 1)
+        # one h/m/l split per operand, shared by both stack orders
+        sre, sim = split3(aw_re), split3(aw_im)
+        r0, i0 = stack6(sre, 0), stack6(sim, 0)
+        r1, i1 = stack6(sre, 1), stack6(sim, 1)
         # gram = (Aw)(Aw)^H over t: re = ArAr^T + AiAi^T,
         #                           im = AiAr^T - ArAi^T
         g_re = dot_nt(r0, r1) + dot_nt(i0, i1)        # (cols, cols)
