@@ -98,21 +98,18 @@ def gmm_frame_vad(samps: jax.Array,
     online (active frames update the speech model, inactive the noise
     model; the noise means are additionally pulled toward the running
     minimum — minimum statistics).  Runs as one jitted ``lax.scan``.
-    Returns bool (num_frames,).
+    Returns bool (..., num_frames), preserving leading batch axes like
+    ``energy_frame_vad`` (each leading element is an independent
+    utterance with its own adapted models).
     """
     if not 0 <= mode <= 3:
         raise ValueError(f"mode must be 0-3, got {mode}")
+    lead = samps.shape[:-1]
     n_frames = samps.shape[-1] // frame_size
-    frames = samps[..., :n_frames * frame_size].reshape(n_frames, frame_size)
-    feats = _band_energies(frames, sr)               # (T, 6)
+    frames = samps[..., :n_frames * frame_size].reshape(
+        *lead, n_frames, frame_size)
+    feats = _band_energies(frames, sr)               # (..., T, 6)
     thr_total, thr_band = _VAD_MODE_THRESHOLDS[mode]
-
-    # init: noise components straddle the quiet floor, speech components
-    # sit well above it (log-energy offsets ~ +6 and +12 nats)
-    floor = jnp.percentile(feats, 10.0, axis=0)      # (6,)
-    n_mean0 = jnp.stack([floor - 0.5, floor + 1.0], -1)   # (6, 2)
-    s_mean0 = jnp.stack([floor + 4.0, floor + 8.0], -1)
-    var0 = jnp.full((6, 2), 4.0, jnp.float32)
 
     def log_pdf(x, mean, var):
         # x (6,), mean/var (6, 2) -> per-band 2-component logsumexp
@@ -125,8 +122,11 @@ def gmm_frame_vad(samps: jax.Array,
         d2 = (x[:, None] - mean) ** 2 / var
         pick = jax.nn.one_hot(jnp.argmin(d2, -1), 2)          # (6, 2)
         rate = (1.0 - alpha) * active_w * pick
+        # squared residual against the PRE-update mean (textbook EMA —
+        # using the updated mean biases variances low)
+        resid2 = (x[:, None] - mean) ** 2
         mean = mean + rate * (x[:, None] - mean)
-        var = var + rate * ((x[:, None] - mean) ** 2 - var)
+        var = var + rate * (resid2 - var)
         return mean, jnp.clip(var, 0.25, 36.0)
 
     def step(state, x):
@@ -145,9 +145,21 @@ def gmm_frame_vad(samps: jax.Array,
         s_mean = jnp.maximum(s_mean, jnp.max(n_mean, -1)[:, None] + 1.0)
         return (n_mean, n_var, s_mean, s_var, nmin), active
 
-    init = (n_mean0, var0, s_mean0, var0, floor)
-    _, active = jax.lax.scan(step, init, feats)
-    return active
+    def scan_one(f):
+        # init: noise components straddle the quiet floor, speech
+        # components sit well above it (log-energy offsets ~ +6/+12 nats)
+        floor = jnp.percentile(f, 10.0, axis=0)      # (6,)
+        n_mean0 = jnp.stack([floor - 0.5, floor + 1.0], -1)   # (6, 2)
+        s_mean0 = jnp.stack([floor + 4.0, floor + 8.0], -1)
+        var0 = jnp.full((6, 2), 4.0, jnp.float32)
+        init = (n_mean0, var0, s_mean0, var0, floor)
+        _, active = jax.lax.scan(step, init, f)
+        return active
+
+    if lead:
+        flat = feats.reshape((-1,) + feats.shape[-2:])
+        return jax.vmap(scan_one)(flat).reshape(lead + (n_frames,))
+    return scan_one(feats)
 
 
 class VoiceSplitter:
