@@ -81,7 +81,20 @@ def main():
     out_full = np.asarray(multihost_utils.process_allgather(
         out, tiled=True))
     np.save(os.path.join(out_dir, f"out_{pid}.npy"), out_full)
-    print(f"worker {pid}: OK {out_full.shape}", flush=True)
+
+    # --- sharded WPE over (data x freq), same globally-sharded obs ----
+    from setk_tpu.parallel import sharded_wpe_step
+    wstep = sharded_wpe_step(mesh, taps=2, delay=1, num_iters=2)
+    wpe_sh = NamedSharding(mesh, P("data", "freq", None, None))
+    obs_w = jax.make_array_from_callback(obs.shape, wpe_sh,
+                                         lambda idx: obs[idx])
+    with mesh:
+        derev = wstep(obs_w)
+    derev_full = np.asarray(multihost_utils.process_allgather(
+        derev, tiled=True))
+    np.save(os.path.join(out_dir, f"wpe_{pid}.npy"), derev_full)
+    print(f"worker {pid}: OK {out_full.shape} wpe {derev_full.shape}",
+          flush=True)
 
 
 if __name__ == "__main__":

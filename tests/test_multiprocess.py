@@ -94,3 +94,14 @@ def test_two_process_distributed(tmp_path):
     with mesh:
         ref = np.asarray(step(obs, mask))
     np.testing.assert_allclose(out0, ref, rtol=0, atol=1e-6)
+
+    # sharded WPE (data x freq): both processes agree, and match the
+    # single-process 8-device run bit-for-bit
+    wpe0 = np.load(tmp_path / "wpe_0.npy")
+    wpe1 = np.load(tmp_path / "wpe_1.npy")
+    np.testing.assert_array_equal(wpe0, wpe1)
+    from setk_tpu.parallel import sharded_wpe_step
+    wstep = sharded_wpe_step(mesh, taps=2, delay=1, num_iters=2)
+    with mesh:
+        wref = np.asarray(wstep(obs))
+    np.testing.assert_allclose(wpe0, wref, rtol=0, atol=1e-6)

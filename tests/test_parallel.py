@@ -103,3 +103,23 @@ def test_sharded_cgmm_step_matches_single(rng):
     gamma_1, q_1 = cgmm_em(obs, 2, num_iters=6)
     np.testing.assert_allclose(gamma_sh, np.asarray(gamma_1), atol=1e-3)
     np.testing.assert_allclose(q_sh, np.asarray(q_1), atol=1e-3)
+
+
+def test_sharded_wpe_step_matches_single(rng):
+    """Sharded WPE over (data x freq) vs the one-device wpe() on
+    identical input — the per-bin solves are shard-local, so the match
+    should be exact up to jit reassociation."""
+    from setk_tpu.enhance.wpe import wpe
+    from setk_tpu.parallel.wpe_step import sharded_wpe_step
+    mesh = make_mesh(8)
+    b = 2 * mesh.shape["data"]
+    f = 4 * mesh.shape["freq"] * mesh.shape["seq"]
+    n, t = 3, 40
+    obs = (rng.standard_normal((b, f, n, t)) +
+           1j * rng.standard_normal((b, f, n, t))).astype(np.complex64)
+    step = sharded_wpe_step(mesh, taps=3, delay=2, num_iters=2)
+    with mesh:
+        out = np.asarray(step(obs))
+    ref = np.asarray(wpe(obs, taps=3, delay=2, num_iters=2))
+    assert out.shape == obs.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4)
