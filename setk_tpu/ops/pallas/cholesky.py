@@ -158,27 +158,57 @@ def _gram_solve_kernel(n, k, row0, eps_rel, equilibrate, ar_ref, ai_ref,
         load = (eps_rel / n) * tr + EPSILON
 
     # ---- left-looking Cholesky ----
+    # The rank-update loop is the kernel floor (sum_j j ~ N^2/2
+    # iterations, each ~8 VPU ops on (rows, lanes) tiles).  Two cuts:
+    #   * FOUR columns per fori iteration (static remainder) quarters
+    #     loop control and s read/write traffic;
+    #   * lower-triangle row pruning: column j only ever needs rows
+    #     >= j, so column j works on the (n - j//8*8, lanes) bottom
+    #     row slice (8-aligned per sublane tiling) — the top rows of
+    #     later columns are never read (fwd/bwd use L[i, q] with
+    #     i > q only).  ~32% off the factorization's vreg count at
+    #     n=60 vs a single midpoint split.
+    def one_update(q, j, s, row0_s):
+        s_re, s_im = s
+        ljq_re = lr_ref[q, j][None, :]
+        ljq_im = li_ref[q, j][None, :]
+        lq_re = lr_ref[q, row0_s:n]
+        lq_im = li_ref[q, row0_s:n]
+        s_re = s_re - (lq_re * ljq_re + lq_im * ljq_im)
+        s_im = s_im - (lq_im * ljq_re - lq_re * ljq_im)
+        return (s_re, s_im)
+
     for j in range(n):
+        row0_s = (j // 8) * 8
         s_re, s_im = col(j)
+        s_re, s_im = s_re[row0_s:], s_im[row0_s:]
 
-        def col_update(q, s):
-            s_re, s_im = s
-            ljq_re = lr_ref[q, j][None, :]
-            ljq_im = li_ref[q, j][None, :]
-            lq_re = lr_ref[q]
-            lq_im = li_ref[q]
-            s_re = s_re - (lq_re * ljq_re + lq_im * ljq_im)
-            s_im = s_im - (lq_im * ljq_re - lq_re * ljq_im)
-            return (s_re, s_im)
+        def quad_update(qq, s, _j=j, _r=row0_s):
+            for u in range(4):
+                s = one_update(4 * qq + u, _j, s, _r)
+            return s
 
-        s_re, s_im = jax.lax.fori_loop(0, j, col_update, (s_re, s_im))
-        d = s_re[j][None, :] + load
+        s_re, s_im = jax.lax.fori_loop(0, j // 4, quad_update,
+                                       (s_re, s_im))
+        for q in range((j // 4) * 4, j):
+            s_re, s_im = one_update(q, j, (s_re, s_im), row0_s)
+        d = s_re[j - row0_s][None, :] + load
         inv_d = jax.lax.rsqrt(jnp.maximum(d, EPSILON))
         dinv_ref[j] = inv_d
-        lr_ref[j] = s_re * inv_d
-        li_ref[j] = s_im * inv_d
+        lr_ref[j, row0_s:n] = s_re * inv_d
+        li_ref[j, row0_s:n] = s_im * inv_d
 
     # ---- forward substitution: L y = b, b_i = gram[row0+i, 0:k] ----
+    def one_fwd(q, i, s):
+        s_re, s_im = s
+        liq_re = lr_ref[q, i][None, :]
+        liq_im = li_ref[q, i][None, :]
+        yq_re = yr_ref[q]
+        yq_im = yi_ref[q]
+        s_re = s_re - (liq_re * yq_re - liq_im * yq_im)
+        s_im = s_im - (liq_re * yq_im + liq_im * yq_re)
+        return (s_re, s_im)
+
     for i in range(n):
         s_re = jnp.concatenate([ar_ref[c, row0 + i][None, :]
                                 for c in range(k)], axis=0)   # (k, BINS)
@@ -188,39 +218,50 @@ def _gram_solve_kernel(n, k, row0, eps_rel, equilibrate, ar_ref, ai_ref,
             s_re = s_re * sc_ref[i, 0][None, :]
             s_im = s_im * sc_ref[i, 0][None, :]
 
-        def fwd_update(q, s):
-            s_re, s_im = s
-            liq_re = lr_ref[q, i][None, :]
-            liq_im = li_ref[q, i][None, :]
-            yq_re = yr_ref[q]
-            yq_im = yi_ref[q]
-            s_re = s_re - (liq_re * yq_re - liq_im * yq_im)
-            s_im = s_im - (liq_re * yq_im + liq_im * yq_re)
-            return (s_re, s_im)
+        def quad_fwd(qq, s, _i=i):
+            for u in range(4):
+                s = one_fwd(4 * qq + u, _i, s)
+            return s
 
-        s_re, s_im = jax.lax.fori_loop(0, i, fwd_update, (s_re, s_im))
+        s_re, s_im = jax.lax.fori_loop(0, i // 4, quad_fwd, (s_re, s_im))
+        for q in range((i // 4) * 4, i):
+            s_re, s_im = one_fwd(q, i, (s_re, s_im))
         inv_d = dinv_ref[i]
         yr_ref[i] = s_re * inv_d
         yi_ref[i] = s_im * inv_d
 
     # ---- backward substitution: L^H x = y (+ unscale) ----
+    def one_bwd(q, i, s):
+        s_re, s_im = s
+        lqi_re = lr_ref[i, q][None, :]
+        lqi_im = li_ref[i, q][None, :]
+        xq_re = xr_ref[q]
+        xq_im = xi_ref[q]
+        # the scratch x rows hold the SCALED solution until the final
+        # store below
+        s_re = s_re - (lqi_re * xq_re + lqi_im * xq_im)
+        s_im = s_im - (lqi_re * xq_im - lqi_im * xq_re)
+        return (s_re, s_im)
+
     for i in reversed(range(n)):
         s_re = yr_ref[i]
         s_im = yi_ref[i]
+        # unrolled-by-4 over q in [i+1, n): align the fori span to 4
+        start = i + 1
+        head = min(n, (start + 3) // 4 * 4)
+        for q in range(start, head):
+            s_re, s_im = one_bwd(q, i, (s_re, s_im))
 
-        def bwd_update(q, s):
-            s_re, s_im = s
-            lqi_re = lr_ref[i, q][None, :]
-            lqi_im = li_ref[i, q][None, :]
-            xq_re = xr_ref[q]
-            xq_im = xi_ref[q]
-            # the scratch x rows hold the SCALED solution until the
-            # final store below
-            s_re = s_re - (lqi_re * xq_re + lqi_im * xq_im)
-            s_im = s_im - (lqi_re * xq_im - lqi_im * xq_re)
-            return (s_re, s_im)
+        def quad_bwd(qq, s, _i=i):
+            for u in range(4):
+                s = one_bwd(4 * qq + u, _i, s)
+            return s
 
-        s_re, s_im = jax.lax.fori_loop(i + 1, n, bwd_update, (s_re, s_im))
+        s_re, s_im = jax.lax.fori_loop(head // 4, n // 4, quad_bwd,
+                                       (s_re, s_im))
+        for q in range((n // 4) * 4, n):
+            if q >= start:
+                s_re, s_im = one_bwd(q, i, (s_re, s_im))
         inv_d = dinv_ref[i]
         xr_ref[i] = s_re * inv_d
         xi_ref[i] = s_im * inv_d

@@ -15,7 +15,7 @@ matrix A in VMEM as masked lane-shifts, and
     reference's compute_lambda, /root/reference/scripts/sptk/libs/
     wpe.py:32-55), and emits the sqrt(1/lambda)-weighted Gram
     A W A^H via error-compensated bf16 K-stacked MXU dots — only the
-    (bins, 72, 72) Gram planes touch HBM;
+    (bins, cols, cols) Gram planes touch HBM;
   * ``wpe_apply_pallas`` — rebuilds the taps the same way and emits the
     final d.
 
@@ -43,79 +43,119 @@ def wpe_fused_supported(n_mics: int, taps: int) -> bool:
     return n_mics <= 8 and (taps + 1) * n_mics <= _GROWS
 
 
-def _shift_row(row, d, t):
-    """row (R, T) delayed by d frames with zero head (tap semantics of
+def _shift_blk(x, d, t):
+    """x (..., T) delayed by d frames with zero head (tap semantics of
     compute_tap_mat: tap[t] = y[t - d], 0 for t < d)."""
     if d == 0:
-        return row
-    return jnp.pad(row[:, :t - d], ((0, 0), (d, 0)))
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x[..., :t - d], pad)
 
 
-def _design_rows(obs_re_ref, obs_im_ref, b_i, n, taps, delay, t):
-    """[current mics | taps] blocks for one bin: lists of (n, T) tiles.
+def _design_blocks(obs_re_ref, obs_im_ref, taps, delay, t):
+    """[current mics | taps] design for ALL bins of the block at once:
+    (BPB, (taps+1)*n, T) planar pair.
 
-    Whole-mic-block shifts (one padded slice per TAP, not per tap x mic
-    row): the per-(1, T)-row form issued 66 tiny Mosaic ops per bin and
-    the gram kernel measured VPU-issue-bound, ~19 ms/pass at the bench
-    shape (benchmarks/profile_wpe_fused.py, round-3 budget).
+    Round-4 relayout: the round-3 kernel built these per BIN (8x the
+    Mosaic op issues for the same bytes) and measured VPU-issue-bound
+    at ~19 ms/pass with only ~0.5 ms of MXU (doc/KERNELS.md round-3
+    budget).  Every elementwise/layout op now issues once per 8-bin
+    block on 8x-taller tiles; only the MXU dots stay per-bin.
     """
-    cur_re = obs_re_ref[b_i]                          # (n, T)
-    cur_im = obs_im_ref[b_i]
-    a_re = [cur_re]
-    a_im = [cur_im]
-    for k in range(taps):
-        d = delay + k
-        a_re.append(_shift_row(cur_re, d, t))
-        a_im.append(_shift_row(cur_im, d, t))
-    return a_re, a_im
+    cur_re = obs_re_ref[...]                          # (BPB, n, T)
+    cur_im = obs_im_ref[...]
+    a_re = [cur_re] + [_shift_blk(cur_re, delay + k, t)
+                       for k in range(taps)]
+    a_im = [cur_im] + [_shift_blk(cur_im, delay + k, t)
+                       for k in range(taps)]
+    return (jnp.concatenate(a_re, axis=1),
+            jnp.concatenate(a_im, axis=1))
 
 
-def _dereverb(a_re, a_im, g_re_ref, g_im_ref, b_i, n, taps, t):
-    """d = current - taps @ conj(G) for one bin: (N_pad=8, T) planar."""
-    nk = n * taps
-    pad8 = jnp.zeros((8 - n, t), jnp.float32)
-    cur_re = jnp.concatenate([a_re[0], pad8], axis=0)
-    cur_im = jnp.concatenate([a_im[0], pad8], axis=0)
-    tap_re = jnp.concatenate(a_re[1:], axis=0)        # (NK, T)
-    tap_im = jnp.concatenate(a_im[1:], axis=0)
-    g_re = g_re_ref[b_i]                              # (NK, N)
-    g_im = g_im_ref[b_i]
-    gp_re = jnp.pad(g_re, ((0, 0), (0, 8 - n)))
-    gp_im = jnp.pad(g_im, ((0, 0), (0, 8 - n)))
+def _stack3(x, order, axis):
+    """2-term bf16 hi/lo K-stack along ``axis`` (dereverb dots)."""
+    h = x.astype(jnp.bfloat16)
+    l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([h, h, l] if order == 0 else [h, l, h],
+                           axis=axis)
+
+
+def _dereverb_block(a_re, a_im, g_re_ref, g_im_ref, n, taps, t,
+                    passes=3):
+    """d = current - taps @ conj(G) for all bins: (BPB, 8, T) planar.
+
+    Elementwise (split/stack) batched over the block; the four re/im
+    cross products ride ONE per-bin MXU dot with both operands stacked
+    ([g_re | g_im] columns against [t_re | t_im] lanes).
+
+    ``passes=3`` is the f32-grade hi/lo K-stack (the apply kernel: d is
+    the OUTPUT).  ``passes=1`` is plain bf16 (the gram kernel: d only
+    feeds the context-smoothed lambda weights, where ~1e-3-relative
+    power error is inert — and this dot is ~13% of an MXU-bound pass).
+    """
+    pad8 = jnp.zeros((_BPB, 8 - n, t), jnp.float32)
+    cur_re = jnp.concatenate([a_re[:, :n], pad8], axis=1)
+    cur_im = jnp.concatenate([a_im[:, :n], pad8], axis=1)
+    gp_re = jnp.pad(g_re_ref[...], ((0, 0), (0, 0), (0, 8 - n)))
+    gp_im = jnp.pad(g_im_ref[...], ((0, 0), (0, 0), (0, 8 - n)))
+    if passes == 3:
+        tr3 = _stack3(a_re[:, n:], 1, 1)              # (BPB, 3NK, T)
+        ti3 = _stack3(a_im[:, n:], 1, 1)
+        gr3 = _stack3(gp_re, 0, 1)                    # (BPB, 3NK, 8)
+        gi3 = _stack3(gp_im, 0, 1)
+    else:
+        tr3 = a_re[:, n:].astype(jnp.bfloat16)        # (BPB, NK, T)
+        ti3 = a_im[:, n:].astype(jnp.bfloat16)
+        gr3 = gp_re.astype(jnp.bfloat16)
+        gi3 = gp_im.astype(jnp.bfloat16)
+    t2 = jnp.concatenate([tr3, ti3], axis=2)          # (BPB, ., 2T)
+    g2 = jnp.concatenate([gr3, gi3], axis=2)          # (BPB, ., 16)
     dot_tn = partial(jax.lax.dot_general,
                      dimension_numbers=(((0,), (0,)), ((), ())),
                      preferred_element_type=jnp.float32)
-    # taps @ conj(G): (NK, 8)^T-contract (NK, T) -> (8, T); f32-grade
-    # via the hi/lo 3-pass stack on the contraction (sublane) axis
-    def stack3(x, order):
-        h = x.astype(jnp.bfloat16)
-        l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
-        return jnp.concatenate([h, h, l] if order == 0 else [h, l, h],
-                               axis=0)
-
-    tr3, ti3 = stack3(tap_re, 1), stack3(tap_im, 1)
-    gr3, gi3 = stack3(gp_re, 0), stack3(gp_im, 0)
-    # (a + bi)(c - di): re = ac + bd, im = bc - ad   [conj on G]
-    pr = dot_tn(gr3, tr3) + dot_tn(gi3, ti3)          # (8, T)
-    pi = dot_tn(gr3, ti3) - dot_tn(gi3, tr3)
+    pr, pi = [], []
+    for b_i in range(_BPB):
+        blk = dot_tn(g2[b_i], t2[b_i])                # (16, 2T)
+        # (a + bi)(c - di): re = ac + bd, im = bc - ad   [conj on G]
+        pr.append(blk[:8, :t] + blk[8:, t:])          # (8, T)
+        pi.append(blk[:8, t:] - blk[8:, :t])
+    pr = jnp.stack(pr, axis=0)
+    pi = jnp.stack(pi, axis=0)
     return cur_re - pr, cur_im - pi
 
 
-def _lambda_weights(d_re, d_im, n, context, t):
-    """Context-smoothed mean power -> sqrt(1/lambda): (1, T)."""
-    power = jnp.sum(d_re * d_re + d_im * d_im, axis=0,
-                    keepdims=True) * (1.0 / n)        # (1, T)
+def _lambda_weights_block(d_re, d_im, n, context, t):
+    """Context-smoothed mean power -> sqrt(1/lambda): (BPB, 1, T)."""
+    power = jnp.sum(d_re * d_re + d_im * d_im, axis=1,
+                    keepdims=True) * (1.0 / n)        # (BPB, 1, T)
     if context > 0:
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
         acc = power
-        counts = jnp.ones((1, t), jnp.float32)
+        counts = jnp.ones((1, 1, t), jnp.float32)
         for c in range(1, context + 1):
-            acc = acc + _shift_row(power, c, t)       # p[t - c]
-            acc = acc + jnp.pad(power[:, c:], ((0, 0), (0, c)))  # p[t + c]
+            acc = acc + _shift_blk(power, c, t)       # p[t - c]
+            acc = acc + jnp.pad(power[..., c:],
+                                ((0, 0), (0, 0), (0, c)))  # p[t + c]
             counts = counts + (iota >= c).astype(jnp.float32)
             counts = counts + (iota < t - c).astype(jnp.float32)
         power = acc / counts
     return jax.lax.rsqrt(jnp.maximum(power, EPSILON))
+
+
+def _split3(x):
+    """THREE-term bf16 split (x = h + m + l): the 2-term 3-pass form's
+    sqrt(T)-accumulated error (~7e-4 max rel at T=501) forced a
+    8e-6*NK loading floor on the solve, and THAT loading cost ~20 dB
+    of golden parity on real speech (the WPE filter shift is
+    O(eps * cond)).  The 3-term split restores ~f32-grade entries
+    (missing terms are <= 2^-24 relative) for ~0.5 ms more MXU —
+    the solve runs the plain 1e-6 hermitian loading, matching the XLA
+    path bit-for-policy (doc/KERNELS.md round-3 resolution)."""
+    h = x.astype(jnp.bfloat16)
+    rem = x - h.astype(jnp.float32)
+    m = rem.astype(jnp.bfloat16)
+    l = (rem - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
 
 
 def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
@@ -126,66 +166,64 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
     dot_nt = partial(jax.lax.dot_general,
                      dimension_numbers=(((1,), (1,)), ((), ())),
                      preferred_element_type=jnp.float32)
-    gram_re_ref[...] = jnp.zeros_like(gram_re_ref)
-    gram_im_ref[...] = jnp.zeros_like(gram_im_ref)
-    for b_i in range(_BPB):
-        a_re, a_im = _design_rows(obs_re_ref, obs_im_ref, b_i, n, taps,
-                                  delay, t)
-        if ext_lambda:
-            # WPD: the power weights come from the enhanced output of
-            # the previous outer iteration, supplied as an operand
-            sw = jax.lax.rsqrt(jnp.maximum(lam_ref[b_i][None], EPSILON))
+    # no zero-init needed: the output planes are exact-size (cols, cols)
+    # and every element is stored below
+    a_re, a_im = _design_blocks(obs_re_ref, obs_im_ref, taps, delay, t)
+    if ext_lambda:
+        # WPD: the power weights come from the enhanced output of the
+        # previous outer iteration, supplied as an operand
+        sw = jax.lax.rsqrt(
+            jnp.maximum(lam_ref[...][:, None, :], EPSILON))
+    else:
+        if use_g:
+            # NOTE: a passes=1 lambda was tried for ~1 ms/pass and
+            # REVERTED: it cost 5 dB of golden WPE Si-SNR on chip
+            # (43.4 -> 38.0 vs wpe_egs; fused-vs-XLA 56.3 -> 38.4) —
+            # lambda feeds back through 3 solve iterations and the
+            # bf16 1-pass dereverb error compounds (doc/KERNELS.md)
+            d_re, d_im = _dereverb_block(a_re, a_im, g_re_ref, g_im_ref,
+                                         n, taps, t, passes=3)
         else:
-            if use_g:
-                d_re, d_im = _dereverb(a_re, a_im, g_re_ref, g_im_ref,
-                                       b_i, n, taps, t)
-            else:
-                # first iteration: d = the observations themselves
-                pad8 = jnp.zeros((8 - n, t), jnp.float32)
-                d_re = jnp.concatenate([a_re[0], pad8], axis=0)
-                d_im = jnp.concatenate([a_im[0], pad8], axis=0)
-            sw = _lambda_weights(d_re, d_im, n, context, t)
+            # first iteration: d = the observations themselves
+            d_re, d_im = a_re[:, :n], a_im[:, :n]
+        sw = _lambda_weights_block(d_re, d_im, n, context, t)
 
-        aw_re = jnp.concatenate(a_re, axis=0) * sw    # (cols, T)
-        aw_im = jnp.concatenate(a_im, axis=0) * sw
-
-        # THREE-term bf16 split (6-pass K-stack): the 2-term 3-pass
-        # form's sqrt(T)-accumulated error (~7e-4 max rel at T=501)
-        # forced a 8e-6*NK loading floor on the solve, and THAT loading
-        # cost ~20 dB of golden parity on real speech (the WPE filter
-        # shift is O(eps * cond)).  The 3-term split restores
-        # ~f32-grade entries (missing terms are <= 2^-24 relative) for
-        # ~0.5 ms more MXU in a ~19 ms VPU-bound pass — the solve runs
-        # the plain 1e-6 hermitian loading again, matching the XLA
-        # path bit-for-policy.  Stack orders: A=[h,h,h,m,m,l] against
-        # B=[h,m,l,h,m,h] -> hh+hm+hl+mh+mm+lh.
-        def split3(x):
-            h = x.astype(jnp.bfloat16)
-            rem = x - h.astype(jnp.float32)
-            m = rem.astype(jnp.bfloat16)
-            l = (rem - m.astype(jnp.float32)).astype(jnp.bfloat16)
-            return h, m, l
-
-        def stack6(hml, side):
-            h, m, l = hml
-            parts = ([h, h, h, m, m, l] if side == 0 else
-                     [h, m, l, h, m, h])
-            return jnp.concatenate(parts, axis=1)
-
-        # one h/m/l split per operand, shared by both stack orders
-        sre, sim = split3(aw_re), split3(aw_im)
-        r0, i0 = stack6(sre, 0), stack6(sim, 0)
-        r1, i1 = stack6(sre, 1), stack6(sim, 1)
-        # gram = (Aw)(Aw)^H over t: re = ArAr^T + AiAi^T,
-        #                           im = AiAr^T - ArAi^T
-        g_re = dot_nt(r0, r1) + dot_nt(i0, i1)        # (cols, cols)
-        g_im = dot_nt(i0, r1) - dot_nt(r0, i1)
-        # symmetrize HERE (tiny in-VMEM transposes): the downstream
-        # planar solve (ops/pallas/cholesky.solve_wpe_gram_pallas)
-        # consumes the planes as-is, and the XLA-side 0.5 (A + A^H)
-        # pass on the assembled complex gram cost a full HBM round trip
-        g_re = 0.5 * (g_re + g_re.T)
-        g_im = 0.5 * (g_im - g_im.T)
+    # This pass is MXU-BOUND: the executed (pad-inclusive) MACs of the
+    # K-stacked gram dots are ~2.1e8 per bin, ~15 ms/pass at this
+    # chip's bf16 rate — round-4 measured elementwise/issue
+    # restructures FLAT (doc/KERNELS.md).  Two exact identities cut the
+    # executed MACs ~38%:
+    #   * Gram symmetry: for the SYMMETRIC products Ar Ar^T and
+    #     Ai Ai^T, the 3-term split's cross passes satisfy
+    #     X Y^T = (Y X^T)^T, so hh+mm rides ONE K=2T dot of [h|m]
+    #     against itself and hm+hl+mh+lh comes from a K=2T dot
+    #     [h|h]x[m|l] plus its transpose (6T -> 4T of K per plane);
+    #   * only THREE of the four re/im products are needed:
+    #     g_im = C - C^T with C = Ai Ar^T (Ar Ai^T = C^T exactly).
+    # The results are exactly Hermitian by construction — no separate
+    # symmetrize pass (the downstream planar solve consumes the planes
+    # as-is; an XLA-side 0.5 (A + A^H) would cost an HBM round trip).
+    aw_re = a_re * sw                                 # (BPB, cols, T)
+    aw_im = a_im * sw
+    hr, mr, lr = _split3(aw_re)
+    hi, mi, li = _split3(aw_im)
+    cat = partial(jnp.concatenate, axis=-1)
+    sym_re = cat([hr, mr])                            # (BPB, cols, 2T)
+    sym_im = cat([hi, mi])
+    symb_l_re, symb_r_re = cat([hr, hr]), cat([mr, lr])
+    symb_l_im, symb_r_im = cat([hi, hi]), cat([mi, li])
+    cross_l = cat([hi, hi, hi, mi, mi, li])           # (BPB, cols, 6T)
+    cross_r = cat([hr, mr, lr, hr, mr, hr])
+    for b_i in range(_BPB):
+        # re = Ar Ar^T + Ai Ai^T (each: hh+mm one dot, hm+hl + ^T)
+        p = (dot_nt(sym_re[b_i], sym_re[b_i])
+             + dot_nt(sym_im[b_i], sym_im[b_i]))      # (cols, cols)
+        q = (dot_nt(symb_l_re[b_i], symb_r_re[b_i])
+             + dot_nt(symb_l_im[b_i], symb_r_im[b_i]))
+        g_re = p + q + q.T
+        # im = Ai Ar^T - Ar Ai^T = C - C^T (exactly antisymmetric)
+        c = dot_nt(cross_l[b_i], cross_r[b_i])
+        g_im = c - c.T
         gram_re_ref[b_i, 0:cols, 0:cols] = g_re
         gram_im_ref[b_i, 0:cols, 0:cols] = g_im
 
@@ -193,13 +231,14 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
 def _wpe_apply_kernel(n, taps, delay, obs_re_ref, obs_im_ref, g_re_ref,
                       g_im_ref, d_re_ref, d_im_ref):
     t = obs_re_ref.shape[-1]
-    for b_i in range(_BPB):
-        a_re, a_im = _design_rows(obs_re_ref, obs_im_ref, b_i, n, taps,
-                                  delay, t)
-        d_re, d_im = _dereverb(a_re, a_im, g_re_ref, g_im_ref, b_i, n,
-                               taps, t)
-        d_re_ref[b_i] = d_re
-        d_im_ref[b_i] = d_im
+    a_re, a_im = _design_blocks(obs_re_ref, obs_im_ref, taps, delay, t)
+    d_re, d_im = _dereverb_block(a_re, a_im, g_re_ref, g_im_ref, n,
+                                 taps, t)
+    # store only the n valid mic rows: this kernel is HBM-bound
+    # (~400 MB obs read + d write per call) and the 8-row pad added
+    # ~130 MB of dead write traffic
+    d_re_ref[...] = d_re[:, :n]
+    d_im_ref[...] = d_im[:, :n]
 
 
 def _prep(obs_re, obs_im, g_re, g_im, n, taps):
@@ -226,7 +265,7 @@ def wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay, context,
     EXTERNAL power weights (the WPD path, where lambda is the enhanced
     output power of the previous outer iteration) instead of the
     in-kernel context-smoothed dereverb power.  Returns gram planes
-    (BINS, 72, 72) f32 with the valid (taps+1)*N block at [:cols, :cols]
+    (BINS, cols, cols) f32 with cols = (taps+1)*N
     (row/col order [current | taps], matching enhance.wpe.wpe_step's y2).
     """
     from jax.experimental import pallas as pl
@@ -247,7 +286,10 @@ def wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay, context,
                           memory_space=pltpu.VMEM)
     lam_spec = pl.BlockSpec((_BPB, t), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_BPB, _GROWS, _GROWS), lambda i: (i, 0, 0),
+    cols = (taps + 1) * n
+    # exact-size planes: the 72-pad added ~16% of dead traffic to an
+    # HBM-heavy handoff (write + XLA bins->lanes transpose + solve read)
+    out_spec = pl.BlockSpec((_BPB, cols, cols), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     gr, gi = pl.pallas_call(
         partial(_wpe_gram_kernel, n, taps, delay, context, use_g,
@@ -255,7 +297,7 @@ def wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay, context,
         grid=(binsp // _BPB,),
         in_specs=[obs_spec, obs_spec, g_spec, g_spec, lam_spec],
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((binsp, _GROWS, _GROWS),
+        out_shape=[jax.ShapeDtypeStruct((binsp, cols, cols),
                                         jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -267,8 +309,7 @@ def wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay, context,
 @partial(jax.jit, static_argnames=("n", "taps", "delay", "interpret"))
 def wpe_apply_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay,
                      interpret=False):
-    """Final filter application: d planes (BINS, 8, T) f32 (rows 0..N-1
-    valid)."""
+    """Final filter application: d planes (BINS, N, T) f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     obs_re, obs_im, g_re, g_im, bins = _prep(obs_re, obs_im, g_re, g_im,
@@ -279,14 +320,14 @@ def wpe_apply_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay,
                             memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((_BPB, nk, n), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_BPB, 8, t), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((_BPB, n, t), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     dr, di = pl.pallas_call(
         partial(_wpe_apply_kernel, n, taps, delay),
         grid=(binsp // _BPB,),
         in_specs=[obs_spec, obs_spec, g_spec, g_spec],
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((binsp, 8, t), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((binsp, n, t), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
