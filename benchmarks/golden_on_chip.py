@@ -10,16 +10,19 @@ with no committed golden (EM, online MVDR, the LSTM sequence kernel).
 Rows and bars (per-row, ratcheted to measured-minus-margin):
 
     mvdr.wav       magnitude cosine (measured 0.9654, bar 0.96)
-    gevd.wav       magnitude cosine (measured 0.9266, bar 0.925 — NOT a
-                   kernel defect: the host XLA GEVD scores the identical
-                   0.9266 on this input, and per-bin |enhanced| of ours
-                   vs the reference numpy GevdBeamformer on the SAME
-                   mask agrees at 0.9978; the residual is the
-                   deterministic mic-0 phase anchor vs LAPACK's
-                   arbitrary per-bin eigenvector phases, which
-                   overlap-add mixes into magnitudes.  Decomposition in
-                   doc/KERNELS.md "Round-3 findings".)
-    gevd-ban.wav   magnitude cosine (measured 0.9592, bar 0.955)
+    gevd.wav       magnitude cosine, bar 0.915 (~0.01 under the
+                   measured 0.926 plateau): the per-bin eigenvector
+                   phase is solver-arbitrary (ours mic-0 anchored, the
+                   reference LAPACK-arbitrary, libs/beamformer.py:
+                   31-54) and overlap-add smears the rotations across
+                   bins, so the wav-domain ceiling is the convention,
+                   not the kernel (host XLA scores identically;
+                   post-OLA phase alignment measured LOWER, 0.858 —
+                   see phase_aligned_spec_cos)
+    gevd-ban.wav   magnitude cosine, bar 0.95 (plateau 0.959)
+    gevd oracle    pre-OLA spectra vs the reference GevdBeamformer on
+                   the same mask, per-bin phase quotiented — the
+                   phase-clean parity surface (bar 0.98)
     pmwf-0.wav     magnitude cosine (measured 1.0000, bar 0.995)
     cacgmm fused   mask MAD/corr vs the XLA scan path
     cgmm fused     mask MAD/corr vs the XLA scan path
@@ -80,9 +83,39 @@ def mag_cos(out, golden, c=cfg):
     with on_host():
         ma = np.abs(np.asarray(forward_stft(jnp.asarray(out), c)))
         mb = np.abs(np.asarray(forward_stft(jnp.asarray(golden), c)))
+    # axis 0 is frames only for mono wavs — a ndim mismatch would
+    # silently trim channels against frames
+    assert ma.ndim == mb.ndim, (ma.shape, mb.shape)
     t = min(ma.shape[0], mb.shape[0])
     a, b = ma[:t].ravel(), mb[:t].ravel()
     return float(np.inner(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def phase_aligned_spec_cos(sa, sb):
+    """Complex cosine of two PRE-OLA spectra (T, F) after quotienting
+    the per-bin global phase.
+
+    GEVD weights are eigenvectors, defined only up to a unit phase per
+    bin; ours are mic-0-anchored (enhance/beamformer.fix_steer_phase)
+    while the reference inherits LAPACK's arbitrary per-bin phases
+    (/root/reference/scripts/sptk/libs/beamformer.py:31-54).  BEFORE
+    overlap-add the two spectra differ by exactly one rotation per bin,
+    which this quotients out.  AFTER overlap-add the rotations are
+    smeared across neighboring bins by the synthesis/analysis windows,
+    so no per-bin rotation of a re-analyzed waveform can undo them —
+    measured round 4: the aligned cosine of the OLA'd wavs is LOWER
+    (0.858) than the raw magnitude cosine (0.926); that is why the
+    asset-wav rows keep the magnitude metric and this one scores the
+    pre-OLA spectra against the reference ORACLE on the same mask.
+    """
+    sa, sb = np.asarray(sa), np.asarray(sb)
+    t = min(sa.shape[0], sb.shape[0])
+    sa, sb = sa[:t], sb[:t]
+    ip = np.sum(sa * np.conj(sb), axis=0)            # (F,)
+    rot = np.conj(ip) / np.maximum(np.abs(ip), 1e-12)
+    a, b = (sa * rot).ravel(), sb.ravel()
+    return float(np.real(np.vdot(b, a)) /
+                 (np.linalg.norm(a) * np.linalg.norm(b)))
 
 
 def si_snr_np(x, ref):
@@ -93,22 +126,55 @@ def si_snr_np(x, ref):
                                (np.linalg.norm(x - p) + 1e-12)))
 
 
+# GEVD bars: the eigen-phase convention bounds the asset-wav magnitude
+# cosine at ~0.926/0.959 (round-3 decomposition: the host XLA path
+# scores the IDENTICAL number, so this is convention, not kernel
+# error); the pipeline is deterministic on a fixed input (measured
+# r3 0.9266 vs r4 0.9263 across kernel-change rounds), so the bars sit
+# ~0.01 under the measured plateau instead of 0.001 (VERDICT r03 #7).
 for name, golden_file, bar, kw in (
         ("mvdr", "mvdr.wav", 0.96, {}),
-        ("gevd", "gevd.wav", 0.925, {}),
-        ("gevd", "gevd-ban.wav", 0.955, {"ban": True}),
+        ("gevd", "gevd.wav", 0.915, {}),
+        ("gevd", "gevd-ban.wav", 0.95, {"ban": True}),
         ("pmwf-0", "pmwf-0.wav", 0.995, {})):
     fn = jax.jit(lambda w, m, _n=name, _kw=dict(kw): enhance_batch(
         w, m, cfg, beamformer=_n, **_kw))
     out = np.asarray(fn(wavb, maskb))[0]
     golden = read_wav(f"{ASSET}/adaptive_beamformer/asset/{golden_file}")
     cos = mag_cos(out, golden[:s])
-    status = "OK" if cos > bar else "LOW"
+    passed = cos > bar
     print(f"{golden_file:>14}: on-chip magnitude cosine {cos:.4f} "
-          f"(bar {bar})  {status}", flush=True)
+          f"(bar {bar})  {'OK' if passed else 'LOW'}", flush=True)
     assert np.isfinite(out).all()
-    RESULTS[golden_file] = {"magnitude_cosine": round(cos, 4), "bar": bar,
-                            "pass": cos > bar}
+    RESULTS[golden_file] = {"magnitude_cosine": round(cos, 4),
+                            "bar": bar, "pass": passed}
+
+# --- GEVD vs the reference ORACLE, pre-OLA (the phase-clean surface) --
+# Runs the reference's own GevdBeamformer (numpy, float64) on the SAME
+# mask/observations and scores our on-chip enhanced SPECTRA against its
+# spectra with the per-bin eigen-phase quotiented — the equivalence-
+# class comparison the asset wav cannot support (see
+# phase_aligned_spec_cos).  Target: libs/beamformer.py:662-682.
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tests"))
+import reference_oracle as ro
+from setk_tpu.enhance import beamformer as bf_mod
+
+obs_dev = jnp.asarray(obs[None])                     # (1, F, N, T)
+mask_fb = jnp.asarray(mask.T[None])                  # (1, F, T)
+ours_spec = np.asarray(jax.jit(
+    lambda o, m: bf_mod.supervised_run("gevd", o, m))(
+        obs_dev, mask_fb))[0]                        # (F, T)
+ref_cls = ro.ref_beamformer.GevdBeamformer(cfg.num_bins)
+# reference run(): mask_s (T, F), obs (N, F, T) -> (F, T) (the run()
+# docstring says N x T x F but compute_covar_mat:244-260 wants N, F, T)
+ref_spec = ref_cls.run(mask, obs.transpose(1, 0, 2))
+cos_o = phase_aligned_spec_cos(ours_spec.T, np.asarray(ref_spec).T)
+ok_o = cos_o > 0.98
+print(f"gevd vs oracle: pre-OLA phase-aligned cosine {cos_o:.4f} "
+      f"(bar 0.98)  {'OK' if ok_o else 'LOW'}", flush=True)
+RESULTS["gevd_oracle_spectra"] = {"phase_aligned_cosine": round(cos_o, 4),
+                                  "bar": 0.98, "pass": ok_o}
 
 # --- fused EM (CACGMM and CGMM) ON the chip vs the host XLA path -------
 # (the in-kernel Jacobi EM's Mosaic lowering on real audio; CPU tests
