@@ -118,8 +118,8 @@ def wpe_row():
     bytes_ = (obs * 4 + obs + 3 * gram_planes * 3 + BINS * NK * N * 4 * 2 * 3)
     return {
         "name": "fused WPE B=32 x 8 s (10 taps, 3 it)",
-        "measured_ms": 56.75 - 30.18 / 6,  # probe-adjusted chain step
-        "artifact": "profile_wpe_fused r04 (4,511 audio-s/s printed)",
+        "measured_ms": 54.96 - 24.80 / 6,  # probe-adjusted chain step
+        "artifact": "profile_wpe_fused r04 (4,658 audio-s/s printed)",
         "mxu_useful_ms": 2 * macs_useful / MXU * 1e3,
         "mxu_exec_ms": 2 * macs_exec / MXU * 1e3,
         "hbm_ms": bytes_ / HBM * 1e3,
