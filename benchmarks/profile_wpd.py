@@ -82,13 +82,13 @@ def main():
         o, s = c
         acc = s
         for _ in range(3):
-            gamma, _ = cgmm_em(o, 2, num_iters=10)
+            gamma, _ = cgmm_em(o, 2, num_iters=10, sweeps=3)
             acc = acc + jnp.mean(gamma).astype(jnp.float32) * 1e-9
             o = o * (1.0 + acc * 1e-30)
         return (o * 0.9999, acc)
 
-    timed_scan("3x CGMM EM (10 it)", cgmm_body, (obs, jnp.zeros(())),
-               AUDIO, iters=4)
+    timed_scan("3x CGMM EM (10 it, sweeps=3)", cgmm_body,
+               (obs, jnp.zeros(())), AUDIO, iters=4)
 
     mask0 = jax.device_put(jnp.mean(jnp.abs(obs[:, :, 0]), axis=-1,
                                     keepdims=True) * 0 + 0.6)
@@ -112,6 +112,24 @@ def main():
 
     timed_scan("3x weighted MVDR stage", mvdr_body,
                (obs, jnp.zeros(())), AUDIO, iters=4)
+
+    def capon_body(c):
+        from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas
+        o, s = c
+        acc = s
+        for _ in range(3):
+            rd_num, _ = bf.covar_stats(o, 1.0 / lam0)
+            rd = rd_num / t
+            rs = bf.compute_covar(o, mask0)
+            weight = mvdr_power_pallas(rs, rd)
+            enh = bf.beamform(weight, o)
+            acc = acc + jnp.mean(jnp.abs(enh)).astype(jnp.float32) * 1e-9
+            o = o * (1.0 + acc * 1e-30)
+        return (o * 0.9999, acc)
+
+    timed_scan("3x fused Capon stage (round-4 path)", capon_body,
+               (obs, jnp.zeros(())), AUDIO, iters=4)
+
 
 
 if __name__ == "__main__":

@@ -112,7 +112,8 @@ def cgmm_em(obs: jax.Array,
             state: dict | None = None,
             return_state: bool = False,
             frame_mask: jax.Array | None = None,
-            use_fused: bool | None = None):
+            use_fused: bool | None = None,
+            sweeps: int | None = None):
     """CGMM EM over obs (F, M, T) (leading batch axes allowed).
 
     Returns (gamma (K, F, T), q_history (num_iters,)) — plus the model
@@ -123,6 +124,10 @@ def cgmm_em(obs: jax.Array,
     init (Rs = sample covariance, Rn = I), otherwise random or provided
     gammas.
     Parity: /root/reference/scripts/sptk/libs/cluster.py:396-465.
+    ``sweeps`` (fused TPU path only) sets the in-kernel Jacobi sweep
+    count of the regularized inverse (default 6 = the fused-vs-XLA
+    parity configuration; 3 is measured-safe for mask seeding and saves
+    ~10% of the EM step — doc/KERNELS.md round-4 attribution).
     """
     obs = jnp.asarray(obs)
     *batch, f, m, t = obs.shape
@@ -178,10 +183,11 @@ def cgmm_em(obs: jax.Array,
         if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
             gamma = jnp.broadcast_to(gamma, (num_classes, *batch, f, t))
             phi = jnp.broadcast_to(phi, (num_classes, *batch, f, t))
+            kw = {} if sweeps is None else {"sweeps": sweeps}
             return cgmm_em_pallas(obs, gamma, phi, num_iters,
                                   update_alpha=update_alpha,
                                   frame_mask=fm,
-                                  return_state=return_state)
+                                  return_state=return_state, **kw)
     return _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters,
                       update_alpha, return_state, frame_mask=frame_mask)
 
@@ -241,7 +247,8 @@ def cacgmm_em(obs: jax.Array,
               state: dict | None = None,
               return_state: bool = False,
               frame_mask: jax.Array | None = None,
-              use_fused: bool | None = None):
+              use_fused: bool | None = None,
+              sweeps: int | None = None):
     """CACGMM EM over obs (F, M, T); observations are L2-normalized over
     the mic axis internally (as the reference does over axis=0 of
     M x F x T, /root/reference/scripts/sptk/libs/cluster.py:489).
@@ -298,10 +305,11 @@ def cacgmm_em(obs: jax.Array,
         if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
             gamma = jnp.broadcast_to(gamma, (num_classes, *batch, f, t))
             kernel = jnp.broadcast_to(kernel, (num_classes, *batch, f, t))
+            kw = {} if sweeps is None else {"sweeps": sweeps}
             return cacgmm_em_pallas(obs, gamma, kernel, num_iters,
                                     update_alpha=update_alpha,
                                     frame_mask=fm,
-                                    return_state=return_state)
+                                    return_state=return_state, **kw)
 
     def step(carry, _):
         gamma, kernel, alpha, _ = carry

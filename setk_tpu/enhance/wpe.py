@@ -238,20 +238,35 @@ def wpd(obs: jax.Array,
                 n, taps, delay, interpret=interpret).reshape(obs.shape)
         else:
             der = wpe_step(obs, taps_mat, lam, equilibrate=True)
+        # fused path: 3 Jacobi sweeps in the inner EM's regularized
+        # inverse — the masks only SEED the weighted MVDR here, and the
+        # golden WPD cosine holds (sweeps attribution: doc/KERNELS.md)
         gamma, _ = cgmm_em(der, 2, num_iters=cgmm_iters,
-                           update_alpha=update_alpha)
+                           update_alpha=update_alpha,
+                           sweeps=3 if use_fused else None)
         tf_mask = gamma[0]  # speech class (sample-covariance init)
         if use_fused:
             # Pallas covariance kernel; the einsum below is its XLA twin
             rd_num, _ = bf.covar_stats(der, 1.0 / lam)
             rd = rd_num / t
+            rs = bf.compute_covar(der, tf_mask)
+            # the lambda-weighted MVDR = Capon against Rd with an
+            # Rs-principal steer — exactly the fused power-iteration
+            # kernel (steer + anchored Cholesky Capon in one VMEM pass).
+            # The XLA twin below (eigh steer + equilibrated solve) cost
+            # ~8 ms/outer-iteration at B=32 x 4 s, ~all of it the
+            # batched 6x6 eigh (benchmarks/profile_wpd.py r04 budget).
+            from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas
+            weight = mvdr_power_pallas(rs, rd, interpret=interpret)
+            enhanced = bf.beamform(weight, der)
         else:
             rd = jnp.einsum("...nt,...mt->...nm", der / lam[..., None, :],
                             jnp.conj(der), precision=GRAM_PRECISION) / t
-        rs = bf.compute_covar(der, tf_mask)
-        steer = bf.fix_steer_phase(solve_pevd(rs))
-        num = equilibrated_hermitian_solve(rd, steer)
-        den = jnp.einsum("...d,...d->...", jnp.conj(steer), num)
-        weight = num / den[..., None]
-        enhanced = jnp.einsum("...n,...nt->...t", jnp.conj(weight), der)
+            rs = bf.compute_covar(der, tf_mask)
+            steer = bf.fix_steer_phase(solve_pevd(rs))
+            num = equilibrated_hermitian_solve(rd, steer)
+            den = jnp.einsum("...d,...d->...", jnp.conj(steer), num)
+            weight = num / den[..., None]
+            enhanced = jnp.einsum("...n,...nt->...t", jnp.conj(weight),
+                                  der)
     return tf_mask, enhanced

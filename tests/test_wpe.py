@@ -89,19 +89,28 @@ def test_wpd_runs_and_enhances(rng):
 
 def test_wpd_fused_matches_xla(rng):
     """The tap-free fused WPD WPE-step (external lambda operand,
-    interpret mode) + Pallas covariance path reproduces the XLA WPD.
-    The inner CGMM auto-dispatches to XLA on CPU, so the comparison
-    isolates the WPE/covariance kernels."""
+    interpret mode) + Pallas covariance/Capon path reproduces the XLA
+    WPD.  The inner CGMM auto-dispatches to XLA on CPU, so the
+    comparison isolates the WPE/covariance/weight kernels.
+
+    Since round 4 the fused path's weighted MVDR uses the
+    power-iteration Capon kernel (the same documented policy as the
+    whole TPU beamformer family) instead of the XLA twin's exact-eigh
+    steer + equilibrated solve — mathematically the same beamformer,
+    but steer directions can differ at f32 on near-degenerate bins, so
+    the comparison is cosine/correlation, not elementwise."""
     obs = _reverb_obs(rng, f=8, n=3, t=64).astype(np.complex64)
     ref_m, ref_e = wpd(obs, cgmm_iters=3, wpd_iters=2, taps=4, delay=2,
                        use_fused=False)
     got_m, got_e = wpd(obs, cgmm_iters=3, wpd_iters=2, taps=4, delay=2,
                        use_fused=True, interpret=True)
-    scale = np.abs(np.asarray(ref_e)).max()
-    np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
-                               atol=3e-3 * scale)
-    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
-                               atol=5e-3)
+    ge, re_ = np.asarray(got_e).ravel(), np.asarray(ref_e).ravel()
+    cos = np.abs(np.vdot(ge, re_)) / (
+        np.linalg.norm(ge) * np.linalg.norm(re_))
+    assert cos > 0.99, cos
+    gm, rm = np.asarray(got_m).ravel(), np.asarray(ref_m).ravel()
+    assert np.corrcoef(gm, rm)[0, 1] > 0.99
+    assert np.abs(gm - rm).mean() < 0.02
 
 
 def test_wpd_batched_matches_single(rng):
