@@ -17,7 +17,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from setk_tpu.enhance.wpe import wpe
 
-__all__ = ["sharded_wpe_step"]
+__all__ = ["sharded_wpe_step", "sharded_wpd_step"]
 
 
 def sharded_wpe_step(mesh: Mesh,
@@ -40,4 +40,32 @@ def sharded_wpe_step(mesh: Mesh,
                    mesh=mesh,
                    in_specs=(P("data", "freq", None, None),),
                    out_specs=P("data", "freq", None, None))
+    return jax.jit(fn)
+
+
+def sharded_wpd_step(mesh: Mesh,
+                     cgmm_iters: int = 10,
+                     wpd_iters: int = 3,
+                     taps: int = 10,
+                     delay: int = 3,
+                     context: int = 1):
+    """Build the jitted multi-chip factored-WPD step over ``mesh``.
+
+    Every WPD stage (WPE normal equations, per-bin CGMM EM, per-bin
+    weighted MVDR — /root/reference/scripts/sptk/libs/wpe.py:113-177)
+    is independent per (utterance, bin), so the cascade shards
+    (data x freq) shard-locally like ``sharded_wpe_step``.  Returns
+    step(obs) -> (tf_mask (B, F, T), enhanced (B, F, T)).
+    """
+    from setk_tpu.enhance.wpe import wpd
+
+    def local(obs_l):
+        return wpd(obs_l, cgmm_iters=cgmm_iters, wpd_iters=wpd_iters,
+                   taps=taps, delay=delay, context=context)
+
+    fn = shard_map(local,
+                   mesh=mesh,
+                   in_specs=(P("data", "freq", None, None),),
+                   out_specs=(P("data", "freq", None),
+                              P("data", "freq", None)))
     return jax.jit(fn)

@@ -123,3 +123,34 @@ def test_sharded_wpe_step_matches_single(rng):
     ref = np.asarray(wpe(obs, taps=3, delay=2, num_iters=2))
     assert out.shape == obs.shape
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_sharded_wpd_step_matches_single(rng):
+    """Sharded WPD over (data x freq): every cascade stage is per-bin
+    independent, so the sharded output matches the one-device wpd()."""
+    from setk_tpu.enhance.wpe import wpd
+    from setk_tpu.parallel.wpe_step import sharded_wpd_step
+    mesh = make_mesh(8)
+    b = mesh.shape["data"]
+    f = 2 * mesh.shape["freq"] * mesh.shape["seq"]
+    n, t = 3, 40
+    src = rng.standard_normal((b, f, 1, t)) + \
+        1j * rng.standard_normal((b, f, 1, t))
+    a = rng.standard_normal((b, f, n, 1)) + \
+        1j * rng.standard_normal((b, f, n, 1))
+    obs = (a * src + 0.2 * (rng.standard_normal((b, f, n, t)) +
+                            1j * rng.standard_normal((b, f, n, t))))
+    obs = obs.astype(np.complex64)
+    step = sharded_wpd_step(mesh, cgmm_iters=2, wpd_iters=2, taps=3,
+                            delay=2)
+    with mesh:
+        mask_sh, enh_sh = step(obs)
+        mask_sh, enh_sh = np.asarray(mask_sh), np.asarray(enh_sh)
+    mask_1, enh_1 = wpd(obs, cgmm_iters=2, wpd_iters=2, taps=3, delay=2)
+    assert enh_sh.shape == (b, f, t)
+    np.testing.assert_allclose(mask_sh, np.asarray(mask_1), atol=1e-3)
+    # a handful of near-degenerate bins move at ~1e-3 under the sharded
+    # compilation's reassociation through eigh + equilibrated solve
+    scale = np.abs(np.asarray(enh_1)).max()
+    np.testing.assert_allclose(enh_sh, np.asarray(enh_1),
+                               atol=5e-3 * scale)
