@@ -783,3 +783,26 @@ def test_solve_wpe_gram_planar(rng):
            max(np.abs(ref_e).max(), 1e-9))
     assert rel < 5e-3, rel
     assert np.isfinite(got_e).all()
+
+
+def test_fused_em_sweeps_knob(rng):
+    """sweeps=3 (the WPD inner-loop configuration) stays close to the
+    sweeps=6 parity default — the Jacobi inverse is nearly converged
+    for these well-conditioned 3x3 covariances, so masks barely move."""
+    import jax
+    import jax.numpy as jnp
+    from setk_tpu.enhance.cluster import norm_observation
+    from setk_tpu.ops.pallas.cacgmm_em import cacgmm_em_pallas
+    b, f, m, t, k, iters = 2, 24, 3, 16, 2, 4
+    obs = (rng.standard_normal((b, f, m, t)) +
+           1j * rng.standard_normal((b, f, m, t))).astype(np.complex64)
+    key = jax.random.PRNGKey(0)
+    obs_n = norm_observation(jnp.asarray(obs), axis=-2)
+    gamma0 = jax.random.uniform(key, (k, b, f, t))
+    gamma0 = gamma0 / jnp.sum(gamma0, 0, keepdims=True)
+    kernel0 = jnp.ones((k, b, f, t))
+    g6, _ = cacgmm_em_pallas(obs_n, gamma0, kernel0, iters, sweeps=6,
+                             interpret=True)
+    g3, _ = cacgmm_em_pallas(obs_n, gamma0, kernel0, iters, sweeps=3,
+                             interpret=True)
+    assert np.abs(np.asarray(g6) - np.asarray(g3)).mean() < 5e-3
