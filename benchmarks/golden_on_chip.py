@@ -160,11 +160,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 import reference_oracle as ro
 from setk_tpu.enhance import beamformer as bf_mod
 
-obs_dev = jnp.asarray(obs[None])                     # (1, F, N, T)
+# planar transfer: complex arrays cannot cross host<->device on axon
 mask_fb = jnp.asarray(mask.T[None])                  # (1, F, T)
-ours_spec = np.asarray(jax.jit(
-    lambda o, m: bf_mod.supervised_run("gevd", o, m))(
-        obs_dev, mask_fb))[0]                        # (F, T)
+o_re_g = jnp.asarray(np.real(obs)[None])
+o_im_g = jnp.asarray(np.imag(obs)[None])
+sr_g, si_g = jax.jit(lambda re, im, m: (lambda e: (
+    jnp.real(e), jnp.imag(e)))(
+    bf_mod.supervised_run("gevd", jax.lax.complex(re, im), m)))(
+        o_re_g, o_im_g, mask_fb)
+ours_spec = (np.asarray(sr_g) + 1j * np.asarray(si_g))[0]   # (F, T)
 ref_cls = ro.ref_beamformer.GevdBeamformer(cfg.num_bins)
 # reference run(): mask_s (T, F), obs (N, F, T) -> (F, T) (the run()
 # docstring says N x T x F but compute_covar_mat:244-260 wants N, F, T)
