@@ -67,6 +67,17 @@ def main():
     maskf = jax.device_put(
         rng.random((BF, cfg.num_frames(SF), cfg.num_bins)).astype(
             np.float32))
+    # ONLINE chunked-EMA MVDR through the fused online kernel pair
+    # (round-2 commit 7f3a7b8 measured ~94k; this row makes it a
+    # committed artifact)
+    def online_body(m):
+        out = enhance_batch(wavf, m, cfg, beamformer="mvdr",
+                            chunk_size=32)
+        return m * 0.999 + jnp.mean(out)[None, None, None] * 1e-9
+
+    row("ONLINE MVDR chunk=32 B=128 x 8 s", online_body, maskf, BF * 8,
+        iters=12)
+
     for name, kw in (("gevd", {}), ("mpdr", {}), ("mpdr-whiten", {}),
                      ("pmwf-0", {}), ("mvdr+ban", {"ban": True})):
         bf_name = "mvdr" if name == "mvdr+ban" else name
