@@ -271,11 +271,36 @@ def _gram_solve_kernel(n, k, row0, eps_rel, equilibrate, ar_ref, ai_ref,
             xi_ref[i] = xi_ref[i] * sc_ref[i, 0][None, :]
 
 
+def _gram_solve_kernel_nat(n, k, row0, eps_rel, equilibrate,
+                           ar_nat, ai_nat, xr_ref, xi_ref,
+                           atr, ati, lr_ref, li_ref, dinv_ref,
+                           yr_ref, yi_ref, sc_ref):
+    """Natural-layout wrapper: the (lanes, G, G) bins-major block is
+    relaid to column-major bins-in-lanes IN VMEM, then the standard
+    solve body runs on the scratch planes — skipping the XLA
+    bins->lanes transpose of the full gram planes in HBM.
+
+    MEASURED NEGATIVE (round 4, kept as documentation): bit-exact vs
+    the XLA-transpose path but SLOWER — 8.5/8.3 ms at lanes=256/128 vs
+    6.4 ms for XLA-transpose + lanes=512 (the VMEM budget forces
+    narrower lanes: inputs + transposed scratch + L at lanes=512
+    overflow 128 MB by 6 MB, and Mosaic's lane<->sublane relayout of
+    (lanes, 66, 66) blocks costs more than the ~2.7 ms HBM round trip
+    it replaces).  Default stays ``in_kernel_relayout=False``."""
+    atr[...] = jnp.transpose(ar_nat[...], (2, 1, 0))
+    ati[...] = jnp.transpose(ai_nat[...], (2, 1, 0))
+    _gram_solve_kernel(n, k, row0, eps_rel, equilibrate, atr, ati,
+                       xr_ref, xi_ref, lr_ref, li_ref, dinv_ref,
+                       yr_ref, yi_ref, sc_ref)
+
+
 @partial(jax.jit, static_argnames=("row0", "n", "k", "eps_rel",
-                                   "equilibrate", "lanes", "interpret"))
+                                   "equilibrate", "lanes", "interpret",
+                                   "in_kernel_relayout"))
 def solve_wpe_gram_pallas(gram_re, gram_im, row0, n, k,
                           eps_rel=1e-6, equilibrate=False,
-                          lanes=512, interpret=False):
+                          lanes=512, interpret=False,
+                          in_kernel_relayout=False):
     """Solve the WPE normal equations straight from planar gram planes.
 
     gram_re/gram_im (BINS, G, G) f32 as emitted by
@@ -296,20 +321,7 @@ def solve_wpe_gram_pallas(gram_re, gram_im, row0, n, k,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     bins, g, _ = gram_re.shape
-    # column-major with bins in lanes: at[c, r] = gram[r, c]
-    at_r = jnp.transpose(gram_re, (2, 1, 0))
-    at_i = jnp.transpose(gram_im, (2, 1, 0))
     pad = (-bins) % lanes
-    if pad:
-        at_r = jnp.pad(at_r, ((0, 0), (0, 0), (0, pad)))
-        at_i = jnp.pad(at_i, ((0, 0), (0, 0), (0, pad)))
-    binsp = at_r.shape[-1]
-    nb = binsp // lanes
-    a_spec = pl.BlockSpec((g, g, lanes), lambda i: (0, 0, i),
-                          memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((n, k, lanes), lambda i: (0, 0, i),
-                          memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n, k, binsp), jnp.float32)
     scratch = [
         pltpu.VMEM((n, n, lanes), jnp.float32),  # L re
         pltpu.VMEM((n, n, lanes), jnp.float32),  # L im
@@ -318,8 +330,38 @@ def solve_wpe_gram_pallas(gram_re, gram_im, row0, n, k,
         pltpu.VMEM((n, k, lanes), jnp.float32),  # y im
         pltpu.VMEM((n, 1, lanes), jnp.float32),  # equilibration scales
     ]
+    x_spec = pl.BlockSpec((n, k, lanes), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    if in_kernel_relayout:
+        # bins-major planes go straight in; the bins->lanes relayout
+        # happens in VMEM (see _gram_solve_kernel_nat)
+        a_r, a_i = gram_re, gram_im
+        if pad:
+            a_r = jnp.pad(a_r, ((0, pad), (0, 0), (0, 0)))
+            a_i = jnp.pad(a_i, ((0, pad), (0, 0), (0, 0)))
+        binsp = a_r.shape[0]
+        nb = binsp // lanes
+        a_spec = pl.BlockSpec((lanes, g, g), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kernel = partial(_gram_solve_kernel_nat, n, k, row0, eps_rel,
+                         equilibrate)
+        scratch = [pltpu.VMEM((g, g, lanes), jnp.float32)] * 2 + scratch
+    else:
+        # column-major with bins in lanes: at[c, r] = gram[r, c]
+        a_r = jnp.transpose(gram_re, (2, 1, 0))
+        a_i = jnp.transpose(gram_im, (2, 1, 0))
+        if pad:
+            a_r = jnp.pad(a_r, ((0, 0), (0, 0), (0, pad)))
+            a_i = jnp.pad(a_i, ((0, 0), (0, 0), (0, pad)))
+        binsp = a_r.shape[-1]
+        nb = binsp // lanes
+        a_spec = pl.BlockSpec((g, g, lanes), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+        kernel = partial(_gram_solve_kernel, n, k, row0, eps_rel,
+                         equilibrate)
+    out_shape = jax.ShapeDtypeStruct((n, k, binsp), jnp.float32)
     xr, xi = pl.pallas_call(
-        partial(_gram_solve_kernel, n, k, row0, eps_rel, equilibrate),
+        kernel,
         grid=(nb,),
         in_specs=[a_spec, a_spec],
         out_specs=[x_spec, x_spec],
@@ -328,7 +370,7 @@ def solve_wpe_gram_pallas(gram_re, gram_im, row0, n, k,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(at_r, at_i)
+    )(a_r, a_i)
     # (n, k, binsp) -> (BINS, n, k); the transpose is tiny (nk x N)
     return (jnp.transpose(xr[..., :bins], (2, 0, 1)),
             jnp.transpose(xi[..., :bins], (2, 0, 1)))
