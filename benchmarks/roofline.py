@@ -111,11 +111,13 @@ def wpe_row():
         vregs += j * 8 * tiles            # 8 ops per rank-update
     solve_vpu_cycles = vregs * math.ceil(BINS / lanes)
     solve_ms = solve_vpu_cycles / (VPU / (8 * 128)) * 1e3  # cycles at vreg rate
-    # HBM per step: obs read 3x gram + 1x apply + d write + gram planes
-    # (out+transpose round trip+in) x3 + filters
+    # HBM per step: obs read 3x gram + 1x apply; d write; gram planes
+    # write + XLA bins->lanes transpose (read+write) + solve read = 4
+    # passes per iteration x3; filters out+in x3
     obs = BINS * N * T * 4 * 2
-    gram_planes = BINS * 72 * 72 * 4 * 2
-    bytes_ = (obs * 4 + obs + 3 * gram_planes * 3 + BINS * NK * N * 4 * 2 * 3)
+    gram_planes = BINS * COLS * COLS * 4 * 2
+    bytes_ = (obs * 4 + obs + 4 * gram_planes * 3
+              + BINS * NK * N * 4 * 2 * 2 * 3)
     return {
         "name": "fused WPE B=32 x 8 s (10 taps, 3 it)",
         "measured_ms": 54.96 - 24.80 / 6,  # probe-adjusted chain step
