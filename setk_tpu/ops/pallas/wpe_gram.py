@@ -159,6 +159,7 @@ def _split3(x):
 
 
 def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
+                     debug,
                      obs_re_ref, obs_im_ref, g_re_ref, g_im_ref, lam_ref,
                      gram_re_ref, gram_im_ref):
     t = obs_re_ref.shape[-1]
@@ -207,22 +208,45 @@ def _wpe_gram_kernel(n, taps, delay, context, use_g, ext_lambda,
     aw_im = a_im * sw
     hr, mr, lr = _split3(aw_re)
     hi, mi, li = _split3(aw_im)
-    cat = partial(jnp.concatenate, axis=-1)
-    sym_re = cat([hr, mr])                            # (BPB, cols, 2T)
-    sym_im = cat([hi, mi])
-    symb_l_re, symb_r_re = cat([hr, hr]), cat([mr, lr])
-    symb_l_im, symb_r_im = cat([hi, hi]), cat([mi, li])
-    cross_l = cat([hi, hi, hi, mi, mi, li])           # (BPB, cols, 6T)
-    cross_r = cat([hr, mr, lr, hr, mr, hr])
+    # NO K-stack concats: the 14 term products run as individual K=T
+    # dots (identical executed MACs — concatenating operands only
+    # reduces DOT COUNT, which measured flat at 32 vs 8 dots/block,
+    # while the bf16 stack materializations were ~2-3 ms/pass of the
+    # measured ~6 ms non-dot share; round-4 nodot attribution,
+    # doc/KERNELS.md).
+    if debug == "nodot":
+        # PROFILING VARIANT (wrong math): consume every split plane
+        # with SUBLANE-direction sums (the cheap reduction direction)
+        # instead of the MXU dots — isolates the elementwise/layout +
+        # DMA share of the pass.  (A first cut used LANE reductions and
+        # measured SLOWER than the dots themselves — cross-lane sums
+        # are the slow direction; doc/KERNELS.md round-1 covariance
+        # lesson, re-learned.)
+        for b_i in range(_BPB):
+            r = (jnp.sum(hr[b_i], axis=0, keepdims=True)
+                 + jnp.sum(mr[b_i], axis=0, keepdims=True)
+                 + jnp.sum(lr[b_i], axis=0, keepdims=True))
+            ci = (jnp.sum(hi[b_i], axis=0, keepdims=True)
+                  + jnp.sum(mi[b_i], axis=0, keepdims=True)
+                  + jnp.sum(li[b_i], axis=0, keepdims=True))
+            gram_re_ref[b_i, 0:cols, 0:cols] = jnp.broadcast_to(
+                r[:, :cols].astype(jnp.float32), (cols, cols))
+            gram_im_ref[b_i, 0:cols, 0:cols] = jnp.broadcast_to(
+                ci[:, :cols].astype(jnp.float32), (cols, cols))
+        return
     for b_i in range(_BPB):
-        # re = Ar Ar^T + Ai Ai^T (each: hh+mm one dot, hm+hl + ^T)
-        p = (dot_nt(sym_re[b_i], sym_re[b_i])
-             + dot_nt(sym_im[b_i], sym_im[b_i]))      # (cols, cols)
-        q = (dot_nt(symb_l_re[b_i], symb_r_re[b_i])
-             + dot_nt(symb_l_im[b_i], symb_r_im[b_i]))
+        def d(x, y, _b=b_i):
+            return dot_nt(x[_b], y[_b])
+
+        # re = Ar Ar^T + Ai Ai^T: symmetric terms hh + mm directly,
+        # cross terms hm + hl once + transposed (X Y^T = (Y X^T)^T)
+        p = d(hr, hr) + d(mr, mr) + d(hi, hi) + d(mi, mi)
+        q = d(hr, mr) + d(hr, lr) + d(hi, mi) + d(hi, li)
         g_re = p + q + q.T
-        # im = Ai Ar^T - Ar Ai^T = C - C^T (exactly antisymmetric)
-        c = dot_nt(cross_l[b_i], cross_r[b_i])
+        # im = Ai Ar^T - Ar Ai^T = C - C^T (exactly antisymmetric);
+        # C's 6-term split: hh + hm + hl + mh + mm + lh
+        c = (d(hi, hr) + d(hi, mr) + d(hi, lr)
+             + d(mi, hr) + d(mi, mr) + d(li, hr))
         g_im = c - c.T
         gram_re_ref[b_i, 0:cols, 0:cols] = g_re
         gram_im_ref[b_i, 0:cols, 0:cols] = g_im
@@ -255,9 +279,10 @@ def _prep(obs_re, obs_im, g_re, g_im, n, taps):
 
 
 @partial(jax.jit, static_argnames=("n", "taps", "delay", "context",
-                                   "use_g", "interpret"))
+                                   "use_g", "interpret", "debug"))
 def wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay, context,
-                    use_g=True, lam=None, interpret=False):
+                    use_g=True, lam=None, interpret=False,
+                    debug="full"):
     """Weighted [current | taps] Gram per bin.
 
     obs planar (BINS, N, T); g planar (BINS, N*taps, N) (ignored when
@@ -293,7 +318,7 @@ def wpe_gram_pallas(obs_re, obs_im, g_re, g_im, n, taps, delay, context,
                             memory_space=pltpu.VMEM)
     gr, gi = pl.pallas_call(
         partial(_wpe_gram_kernel, n, taps, delay, context, use_g,
-                ext_lambda),
+                ext_lambda, debug),
         grid=(binsp // _BPB,),
         in_specs=[obs_spec, obs_spec, g_spec, g_spec, lam_spec],
         out_specs=[out_spec, out_spec],
