@@ -59,11 +59,19 @@ def row(name, body, init, audio_s, iters, batch, probe):
     first = lambda c: c[0] if isinstance(c, tuple) else c
     c = run(init)
     float(jnp.sum(jnp.abs(first(c))))
-    t0 = time.perf_counter()
-    c = run(c)
-    float(jnp.sum(jnp.abs(first(c))))
-    step_ms = (time.perf_counter() - t0) * 1e3 / iters
-    kern_ms = step_ms - probe / iters
+    # min of two timed chains: the tunnel's transient stalls only ADD
+    # time, so the min is the stall-resistant estimator for these
+    # short rows (a single 20 ms hiccup once polluted one row 4x)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        c = run(c)
+        float(jnp.sum(jnp.abs(first(c))))
+        best = min(best, time.perf_counter() - t0)
+    step_ms = best * 1e3 / iters
+    # clamp at the measurement resolution: tiny kernels (B=1 MVDR is
+    # ~60 us) can land below the probe estimate's run-to-run noise
+    kern_ms = max(step_ms - probe / iters, 1e-2)
     utt_ms = kern_ms / batch
     rate = audio_s / (kern_ms * 1e-3)
     print(f"{name:>44}: {step_ms:8.2f} ms/step  "
