@@ -165,8 +165,13 @@ class BatchClusterer:
     """
 
     def __init__(self, algo: str = "cacgmm", num_classes: int = 2,
-                 num_iters: int = 20, batch_size: int = 4,
+                 num_iters: int = 20, batch_size: int = 16,
                  frame_bucket: int = 128, seed: int = 0, **em_kwargs):
+        # batch_size default raised 4 -> 16 in round 4: the fused EM's
+        # kernel-side cost per utterance falls 0.85 -> 0.64 -> 0.49 ms
+        # at B = 4 / 8 / 32 (BENCH_LATENCY_r04 — lane padding at 257
+        # bins amortizes with batch), unlike the beamformer family
+        # which is flat from B=8
         if algo not in ("cgmm", "cacgmm"):
             raise ValueError(f"Unknown clustering algo: {algo}")
         self.algo = algo
