@@ -56,11 +56,13 @@ def _design_blocks(obs_re_ref, obs_im_ref, taps, delay, t):
     """[current mics | taps] design for ALL bins of the block at once:
     (BPB, (taps+1)*n, T) planar pair.
 
-    Round-4 relayout: the round-3 kernel built these per BIN (8x the
-    Mosaic op issues for the same bytes) and measured VPU-issue-bound
-    at ~19 ms/pass with only ~0.5 ms of MXU (doc/KERNELS.md round-3
-    budget).  Every elementwise/layout op now issues once per 8-bin
-    block on 8x-taller tiles; only the MXU dots stay per-bin.
+    Round-4 relayout: the round-3 kernel built these per BIN; every
+    elementwise/layout op now issues once per 8-bin block and only the
+    MXU dots stay per-bin.  (The round-3 "VPU-issue-bound, ~0.5 ms of
+    MXU" diagnosis that motivated this was WRONG — the pass was MXU
+    executed-MAC bound and this relayout alone measured flat; the
+    round-4 wins were the MAC-cutting identities and dropping the
+    K-stack concats.  doc/KERNELS.md round-4.)
     """
     cur_re = obs_re_ref[...]                          # (BPB, n, T)
     cur_im = obs_im_ref[...]
