@@ -74,14 +74,6 @@ def _design_blocks(obs_re_ref, obs_im_ref, taps, delay, t):
             jnp.concatenate(a_im, axis=1))
 
 
-def _stack3(x, order, axis):
-    """2-term bf16 hi/lo K-stack along ``axis`` (dereverb dots)."""
-    h = x.astype(jnp.bfloat16)
-    l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([h, h, l] if order == 0 else [h, l, h],
-                           axis=axis)
-
-
 def _dereverb_block(a_re, a_im, g_re_ref, g_im_ref, n, taps, t,
                     passes=3):
     """d = current - taps @ conj(G) for all bins: (BPB, 8, T) planar.
@@ -100,27 +92,40 @@ def _dereverb_block(a_re, a_im, g_re_ref, g_im_ref, n, taps, t,
     cur_im = jnp.concatenate([a_im[:, :n], pad8], axis=1)
     gp_re = jnp.pad(g_re_ref[...], ((0, 0), (0, 0), (0, 8 - n)))
     gp_im = jnp.pad(g_im_ref[...], ((0, 0), (0, 0), (0, 8 - n)))
-    if passes == 3:
-        tr3 = _stack3(a_re[:, n:], 1, 1)              # (BPB, 3NK, T)
-        ti3 = _stack3(a_im[:, n:], 1, 1)
-        gr3 = _stack3(gp_re, 0, 1)                    # (BPB, 3NK, 8)
-        gi3 = _stack3(gp_im, 0, 1)
-    else:
-        tr3 = a_re[:, n:].astype(jnp.bfloat16)        # (BPB, NK, T)
-        ti3 = a_im[:, n:].astype(jnp.bfloat16)
-        gr3 = gp_re.astype(jnp.bfloat16)
-        gi3 = gp_im.astype(jnp.bfloat16)
-    t2 = jnp.concatenate([tr3, ti3], axis=2)          # (BPB, ., 2T)
-    g2 = jnp.concatenate([gr3, gi3], axis=2)          # (BPB, ., 16)
+
+    def split2(x):
+        h = x.astype(jnp.bfloat16)
+        l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+        return h, l
+
     dot_tn = partial(jax.lax.dot_general,
                      dimension_numbers=(((0,), (0,)), ((), ())),
                      preferred_element_type=jnp.float32)
+    # NO K-stack / output-pack concats (same finding as the gram dots:
+    # dot count is a non-factor, operand materializations are not):
+    # each 3-pass product runs as its hh + hl + lh term dots directly
+    th_r, tl_r = split2(a_re[:, n:])                  # (BPB, NK, T)
+    th_i, tl_i = split2(a_im[:, n:])
+    gh_r, gl_r = split2(gp_re)                        # (BPB, NK, 8)
+    gh_i, gl_i = split2(gp_im)
+    if passes != 3:
+        tl_r = tl_i = gl_r = gl_i = None
+
+    def prod3(gh, gl, th, tl, b_i):
+        """3-pass (or 1-pass) g^T t: (8, T) f32."""
+        out = dot_tn(gh[b_i], th[b_i])
+        if tl is not None:
+            out = out + dot_tn(gh[b_i], tl[b_i]) + dot_tn(gl[b_i],
+                                                          th[b_i])
+        return out
+
     pr, pi = [], []
     for b_i in range(_BPB):
-        blk = dot_tn(g2[b_i], t2[b_i])                # (16, 2T)
         # (a + bi)(c - di): re = ac + bd, im = bc - ad   [conj on G]
-        pr.append(blk[:8, :t] + blk[8:, t:])          # (8, T)
-        pi.append(blk[:8, t:] - blk[8:, :t])
+        pr.append(prod3(gh_r, gl_r, th_r, tl_r, b_i)
+                  + prod3(gh_i, gl_i, th_i, tl_i, b_i))
+        pi.append(prod3(gh_r, gl_r, th_i, tl_i, b_i)
+                  - prod3(gh_i, gl_i, th_r, tl_r, b_i))
     pr = jnp.stack(pr, axis=0)
     pi = jnp.stack(pi, axis=0)
     return cur_re - pr, cur_im - pi
