@@ -259,8 +259,12 @@ def _gram_solve_kernel(n, k, row0, eps_rel, equilibrate, ar_ref, ai_ref,
 
         s_re, s_im = jax.lax.fori_loop(head // 4, n // 4, quad_bwd,
                                        (s_re, s_im))
+        # tail rows past the last full quad; [start, head) is already
+        # done above (head >= start always), so guard on head — a
+        # q >= start guard double-subtracts rows when head clamps to n
+        # (n % 4 in {2, 3})
         for q in range((n // 4) * 4, n):
-            if q >= start:
+            if q >= head:
                 s_re, s_im = one_bwd(q, i, (s_re, s_im))
         inv_d = dinv_ref[i]
         xr_ref[i] = s_re * inv_d

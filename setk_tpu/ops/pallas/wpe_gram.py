@@ -82,10 +82,12 @@ def _dereverb_block(a_re, a_im, g_re_ref, g_im_ref, n, taps, t,
     cross products ride ONE per-bin MXU dot with both operands stacked
     ([g_re | g_im] columns against [t_re | t_im] lanes).
 
-    ``passes=3`` is the f32-grade hi/lo K-stack (the apply kernel: d is
-    the OUTPUT).  ``passes=1`` is plain bf16 (the gram kernel: d only
-    feeds the context-smoothed lambda weights, where ~1e-3-relative
-    power error is inert — and this dot is ~13% of an MXU-bound pass).
+    BOTH callers use ``passes=3`` (the f32-grade hi/lo split).  A
+    ``passes=1`` plain-bf16 lambda-side dereverb was tried for
+    ~1 ms/pass and REVERTED: lambda feeds back through the solve
+    iterations and the 2^-8-relative error compounded to a 5 dB
+    on-chip golden WPE Si-SNR loss (doc/KERNELS.md round-4 notes);
+    the knob stays only so the negative result is reproducible.
     """
     pad8 = jnp.zeros((_BPB, 8 - n, t), jnp.float32)
     cur_re = jnp.concatenate([a_re[:, :n], pad8], axis=1)

@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpreter mode on CPU)."""
 
 import numpy as np
+import pytest
 
 from setk_tpu.enhance.beamformer import (compute_covar, covar_stats,
                                          mvdr_weights)
@@ -741,15 +742,20 @@ def test_pmwf_solve_kernel_powers(rng):
     np.testing.assert_allclose(got, got_ein, atol=1e-4 * scale)
 
 
-def test_solve_wpe_gram_planar(rng):
+@pytest.mark.parametrize("NK", [9, 10, 11, 12, 30])
+def test_solve_wpe_gram_planar(rng, NK):
     """Planar gram-layout solve (in-kernel slicing + optional
-    equilibration) vs the complex-assembly reference path."""
+    equilibration) vs the complex-assembly reference path.
+
+    NK sweeps every mod-4 residue of the unrolled substitution loops
+    (a tail-guard bug double-subtracted rows at NK % 4 in {2, 3}),
+    plus the 3-mic taps=10 default shape NK=30."""
     import jax.numpy as jnp
     from setk_tpu.ops.linalg import (equilibrated_hermitian_solve,
                                      hermitian_solve)
     from setk_tpu.ops.pallas.cholesky import solve_wpe_gram_pallas
-    BINS, N0, NK = 5, 3, 9
-    G, COLS = 16, N0 + NK          # padded plane size vs valid block
+    BINS, N0 = 5, 3
+    G, COLS = max(16, -(-(N0 + NK) // 8) * 8), N0 + NK  # plane pad vs valid
     a = (rng.standard_normal((BINS, COLS, 6)) +
          1j * rng.standard_normal((BINS, COLS, 6)))
     gram = (a @ np.conj(a.transpose(0, 2, 1))).astype(np.complex64)
