@@ -39,16 +39,24 @@ def probe_overhead_ms(iters=40):
 
     c = run(x)
     float(jnp.sum(c))
-    t0 = time.perf_counter()
-    c = run(c)
-    float(jnp.sum(c))
-    return (time.perf_counter() - t0) * 1e3
+    best = float("inf")
+    for _ in range(2):  # min-of-2: stalls only ADD time
+        t0 = time.perf_counter()
+        c = run(c)
+        float(jnp.sum(c))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
-def timed_scan(name, body, init_carry, audio_s, iters=6):
+def timed_scan(name, body, init_carry, audio_s, iters=6, repeats=2):
     """body(carry) -> carry, chained ``iters`` times inside one jit.
 
-    Prints per-step latency and audio-seconds/s; returns the rate.
+    Takes the MIN of ``repeats`` timed chains: the tunnel's transient
+    stalls only ADD time, so the min is the stall-resistant estimator
+    (one 20 ms hiccup polluted a single-chain row 4x in round 4 —
+    bench_latency.py learned this first; every artifact row now uses
+    it).  Prints per-step latency and audio-seconds/s; returns the
+    rate.
     """
 
     @jax.jit
@@ -62,10 +70,13 @@ def timed_scan(name, body, init_carry, audio_s, iters=6):
     first = lambda c: c[0] if isinstance(c, tuple) else c
     c = run(init_carry)
     float(jnp.sum(jnp.abs(first(c))))
-    t0 = time.perf_counter()
-    c = run(c)
-    float(jnp.sum(jnp.abs(first(c))))
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        c = run(c)
+        float(jnp.sum(jnp.abs(first(c))))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
     rate = audio_s / dt
     print(f"{name:>40}: {dt*1e3:8.2f} ms/step  ({rate:9.0f} audio-s/s)",
           flush=True)
