@@ -57,6 +57,9 @@ _SWEEPS = 6
 _VMEM_BUDGET = 64 * 1024 * 1024
 
 
+_CHUNK = 64
+
+
 def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
                zre_ref, zim_ref, g0_ref, k0_ref, fm_ref,
                gamma_ref, kern_ref, q_ref, cre_ref, cim_ref, alpha_ref):
@@ -66,121 +69,178 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
       zre/zim: (M, T, 8, 128)   g0/k0: (K, T, 8, 128)   fm: (T, 8, 128)
       gamma/kern: (K, T, 8, 128)   q: (num_iters, 8, 128)
       cre/cim: (K, M*M, 8, 128) alpha: (K, 8, 128)
+
+    Round-5 pipelined single-pass restructure: the loop carries the
+    per-class COVARIANCES (tiny (8, 128) tiles) instead of the (T,...)
+    responsibilities, and each iteration runs ONE T-chunked pass that
+    computes every pair product conj(z_i) z_j once, consumes it for the
+    quadratic/E-step (inverse from the carried covariance), and
+    immediately accumulates the NEXT iteration's weighted covariance
+    from the freshly computed posterior — identical math and update
+    order to the two-pass form (the M-step of iteration it+1 uses
+    exactly gamma_it / quad_it), but the 21 pair products are computed
+    once per iteration instead of twice (-126 of the measured ~610
+    VPU ops per (bin, frame) element) with only a chunk-sized (not
+    T-sized) working set of cached pairs.
     """
     shape = (_ROWS, _LANES)
+    t_full = fm_ref.shape[1]
     fm = fm_ref[0]                              # (T, 8, 128)
     fm_den = jnp.maximum(jnp.sum(fm, axis=0), 1.0)  # (8, 128)
+    chunks = [(c0, min(c0 + _CHUNK, t_full))
+              for c0 in range(0, t_full, _CHUNK)]
 
-    # pair products P[i][j] = conj(z_i) z_j, recomputed per use from the
-    # VMEM-resident observation block — caching all M(M+1)/2 (T, 8, 128)
-    # pairs would double the footprint for two cheap VPU FMAs each
-    def prod(i, j):
-        zi_re, zi_im = zre_ref[0, i], zim_ref[0, i]
-        zj_re, zj_im = zre_ref[0, j], zim_ref[0, j]
+    def prod(i, j, c0, c1):
+        """Pair product P[i][j] = conj(z_i) z_j on frames [c0, c1)."""
+        zi_re, zi_im = zre_ref[0, i, c0:c1], zim_ref[0, i, c0:c1]
+        zj_re, zj_im = zre_ref[0, j, c0:c1], zim_ref[0, j, c0:c1]
         p_re = zi_re * zj_re + zi_im * zj_im
         p_im = zi_re * zj_im - zi_im * zj_re
         return p_re, p_im
 
-    def iteration(it, carry):
-        gamma, kernel, alpha = carry   # K-tuples of (T,8,128) / (8,128)
-        # ---- M-step ---------------------------------------------------
-        # per-class weights first, then ONE pair pass with the class
-        # loop INSIDE: each (T, 8, 128) pair product is computed once
-        # per pass instead of once per class (at K=2 this removes ~30%
-        # of the kernel's T-proportional VPU ops; caching the pairs
-        # ACROSS the covar and quad passes would instead cost +42 MB of
-        # VMEM per block at T=251)
-        w = [None] * k_classes
-        alpha_new = [None] * k_classes
+    def accumulate_covar(w, p_re, p_im, acc_re, acc_im, k, i, j):
+        # R_ij += sum_t w * z_i conj(z_j) = sum_t w * conj(P_ij)
+        acc_re[k][i][j] = acc_re[k][i][j] + jnp.sum(w * p_re, axis=0)
+        acc_im[k][i][j] = acc_im[k][i][j] - jnp.sum(w * p_im, axis=0)
+
+    def zero_mm():
+        return [[[jnp.zeros(shape, jnp.float32) for _ in range(m)]
+                 for _ in range(m)] for _ in range(k_classes)]
+
+    def mstep_init():
+        """Pre-loop M-step from the (gamma0, kernel0) input planes —
+        exactly the two-pass form's iteration-0 covariance/alpha."""
+        acc_re, acc_im = zero_mm(), zero_mm()
+        sum_g = [jnp.zeros(shape, jnp.float32) for _ in range(k_classes)]
+        for c0, c1 in chunks:
+            fm_c = fm[c0:c1]
+            w = [None] * k_classes
+            for k in range(k_classes):
+                g = g0_ref[0, k, c0:c1] * fm_c
+                sum_g[k] = sum_g[k] + jnp.sum(g, axis=0)
+                # the floor only matters for zero-padded bins (kernel
+                # plane pads with 0 -> 0/0 NaN would poison Q); real
+                # bins carry kernel = quad >= EPSILON already
+                w[k] = g / jnp.maximum(k0_ref[0, k, c0:c1], EPSILON)
+            for i in range(m):
+                for j in range(i, m):
+                    p_re, p_im = prod(i, j, c0, c1)
+                    for k in range(k_classes):
+                        accumulate_covar(w[k], p_re, p_im,
+                                         acc_re, acc_im, k, i, j)
+        return acc_re, acc_im, sum_g
+
+    def finalize_covar(acc_re, acc_im, sum_g):
+        """Scale by m/den and mirror the Hermitian lower triangle;
+        returns fori-carry-able nested tuples."""
+        cov_re = [[[None] * m for _ in range(m)] for _ in range(k_classes)]
+        cov_im = [[[None] * m for _ in range(m)] for _ in range(k_classes)]
         for k in range(k_classes):
-            g = gamma[k] * fm                                   # (T,8,128)
-            den = jnp.maximum(jnp.sum(g, axis=0), EPSILON)      # (8,128)
-            # the floor only matters for zero-padded bins (kernel plane
-            # pads with 0 -> 0/0 NaN would poison Q); real bins carry
-            # kernel = quad >= EPSILON already
-            w[k] = (g / jnp.maximum(kernel[k], EPSILON)) * (m / den)
-            alpha_new[k] = (jnp.sum(g, axis=0) / fm_den
-                            if update_alpha else alpha[k])
-        alpha = tuple(alpha_new)
-        covar_re = [[[None] * m for _ in range(m)]
-                    for _ in range(k_classes)]
-        covar_im = [[[None] * m for _ in range(m)]
-                    for _ in range(k_classes)]
-        for i in range(m):
-            for j in range(i, m):
-                p_re, p_im = prod(i, j)
-                for k in range(k_classes):
-                    # R_ij = sum_t w * z_i conj(z_j) = sum w * conj(P_ij)
-                    covar_re[k][i][j] = jnp.sum(w[k] * p_re, axis=0)
-                    covar_im[k][i][j] = -jnp.sum(w[k] * p_im, axis=0)
+            scale = m / jnp.maximum(sum_g[k], EPSILON)
+            for i in range(m):
+                for j in range(i, m):
+                    cov_re[k][i][j] = acc_re[k][i][j] * scale
+                    cov_im[k][i][j] = acc_im[k][i][j] * scale
                     if j != i:
-                        covar_re[k][j][i] = covar_re[k][i][j]
-                        covar_im[k][j][i] = -covar_im[k][i][j]
-        # ---- E-step ---------------------------------------------------
+                        cov_re[k][j][i] = cov_re[k][i][j]
+                        cov_im[k][j][i] = -cov_im[k][i][j]
+        tup = lambda x: tuple(tuple(tuple(r) for r in c) for c in x)
+        return tup(cov_re), tup(cov_im)
+
+    def iteration(it, carry):
+        covar_re, covar_im, alpha = carry
+        # persist the carry-in state (last write wins -> the values at
+        # entry of the LAST iteration, matching the two-pass form's
+        # persisted M-step state f(gamma_{n-2}))
+        for k in range(k_classes):
+            alpha_ref[0, k] = alpha[k]
+            for i in range(m):
+                for j in range(m):
+                    cre_ref[0, k, i * m + j] = covar_re[k][i][j]
+                    cim_ref[0, k, i * m + j] = covar_im[k][i][j]
+        # ---- E-step inverse from the carried covariance ---------------
         b_re = [None] * k_classes
         b_im = [None] * k_classes
         logdets = [None] * k_classes
         for k in range(k_classes):
             b_re[k], b_im[k], logdets[k] = jacobi_regularized_inverse(
-                covar_re[k], covar_im[k], m, sweeps)
-        qds = [jnp.zeros_like(fm) for _ in range(k_classes)]
-        for i in range(m):
-            p_re, _ = prod(i, i)
-            for k in range(k_classes):
-                qds[k] = qds[k] + b_re[k][i][i] * p_re
-        for i in range(m):
-            for j in range(i + 1, m):
-                p_re, p_im = prod(i, j)
-                for k in range(k_classes):
-                    # 2 Re(conj(z_i) B_ij z_j) = 2 (Bre Pre - Bim Pim)
-                    qds[k] = qds[k] + 2.0 * (b_re[k][i][j] * p_re -
-                                             b_im[k][i][j] * p_im)
-        log_pdf = [None] * k_classes
-        quad = [None] * k_classes
-        for k in range(k_classes):
-            if model == "cg":
-                # CGMM: the carried plane is phi = quad / M (time-varying
-                # class power, /root/reference/scripts/sptk/libs/
-                # cluster.py:184-235)
-                quad[k] = jnp.maximum(qds[k], EPSILON) * (1.0 / m)
-            else:
-                quad[k] = jnp.maximum(qds[k], EPSILON)
-            log_pdf[k] = -m * jnp.log(quad[k]) - logdets[k][None]
-        # posterior with the max-shifted logsumexp Q statistic
-        mx = log_pdf[0]
-        for k in range(1, k_classes):
-            mx = jnp.maximum(mx, log_pdf[k])
-        num = [jnp.exp(log_pdf[k] - mx) * alpha[k][None]
-               for k in range(k_classes)]
-        den_p = num[0]
-        for k in range(1, k_classes):
-            den_p = den_p + num[k]
-        den_p = jnp.maximum(den_p, EPSILON)
-        # clamp: num/den can round to 1 + ulp in f32, which makes the
-        # downstream (1 - mask) covariance weights negative on the
-        # loudest frames (indefinite Rn -> Cholesky NaN)
-        gamma = tuple(jnp.minimum(num[k] / den_p, 1.0)
-                      for k in range(k_classes))
-        log_marg = mx + jnp.log(den_p)                      # (T,8,128)
-        q_ref[0, it] = jnp.sum(log_marg * fm, axis=0)
-        # persist the M-step state (last iteration wins)
-        for k in range(k_classes):
+                [list(r) for r in covar_re[k]],
+                [list(r) for r in covar_im[k]], m, sweeps)
+        # ---- fused E-step + next-iteration M-step, one pass over T ----
+        acc_re, acc_im = zero_mm(), zero_mm()
+        sum_g = [jnp.zeros(shape, jnp.float32) for _ in range(k_classes)]
+        qacc = jnp.zeros(shape, jnp.float32)
+        for c0, c1 in chunks:
+            fm_c = fm[c0:c1]
+            p_re = [[None] * m for _ in range(m)]
+            p_im = [[None] * m for _ in range(m)]
+            qds = [jnp.zeros((c1 - c0, *shape), jnp.float32)
+                   for _ in range(k_classes)]
             for i in range(m):
-                for j in range(m):
-                    cre_ref[0, k, i * m + j] = covar_re[k][i][j]
-                    cim_ref[0, k, i * m + j] = covar_im[k][i][j]
-        return gamma, tuple(quad), alpha
+                for j in range(i, m):
+                    p_re[i][j], p_im[i][j] = prod(i, j, c0, c1)
+                    for k in range(k_classes):
+                        if i == j:
+                            qds[k] = qds[k] + b_re[k][i][i] * p_re[i][i]
+                        else:
+                            # 2 Re(conj(z_i) B_ij z_j)
+                            qds[k] = qds[k] + 2.0 * (
+                                b_re[k][i][j] * p_re[i][j] -
+                                b_im[k][i][j] * p_im[i][j])
+            log_pdf = [None] * k_classes
+            quad = [None] * k_classes
+            for k in range(k_classes):
+                if model == "cg":
+                    # CGMM: the carried plane is phi = quad / M
+                    # (time-varying class power, /root/reference/
+                    # scripts/sptk/libs/cluster.py:184-235)
+                    quad[k] = jnp.maximum(qds[k], EPSILON) * (1.0 / m)
+                else:
+                    quad[k] = jnp.maximum(qds[k], EPSILON)
+                log_pdf[k] = -m * jnp.log(quad[k]) - logdets[k][None]
+            # posterior with the max-shifted logsumexp Q statistic
+            mx = log_pdf[0]
+            for k in range(1, k_classes):
+                mx = jnp.maximum(mx, log_pdf[k])
+            num = [jnp.exp(log_pdf[k] - mx) * alpha[k][None]
+                   for k in range(k_classes)]
+            den_p = num[0]
+            for k in range(1, k_classes):
+                den_p = den_p + num[k]
+            den_p = jnp.maximum(den_p, EPSILON)
+            # clamp: num/den can round to 1 + ulp in f32, which makes
+            # the downstream (1 - mask) covariance weights negative on
+            # the loudest frames (indefinite Rn -> Cholesky NaN)
+            gamma_c = [jnp.minimum(num[k] / den_p, 1.0)
+                       for k in range(k_classes)]
+            qacc = qacc + jnp.sum((mx + jnp.log(den_p)) * fm_c, axis=0)
+            w = [None] * k_classes
+            for k in range(k_classes):
+                gamma_ref[0, k, c0:c1] = gamma_c[k]
+                kern_ref[0, k, c0:c1] = quad[k]
+                g = gamma_c[k] * fm_c
+                sum_g[k] = sum_g[k] + jnp.sum(g, axis=0)
+                w[k] = g / jnp.maximum(quad[k], EPSILON)
+            for i in range(m):
+                for j in range(i, m):
+                    for k in range(k_classes):
+                        accumulate_covar(w[k], p_re[i][j], p_im[i][j],
+                                         acc_re, acc_im, k, i, j)
+        q_ref[0, it] = qacc
+        cov_re, cov_im = finalize_covar(acc_re, acc_im, sum_g)
+        if update_alpha:
+            alpha = tuple(sum_g[k] / fm_den for k in range(k_classes))
+        return cov_re, cov_im, alpha
 
-    gamma0 = tuple(g0_ref[0, k] for k in range(k_classes))
-    kernel0 = tuple(k0_ref[0, k] for k in range(k_classes))
-    alpha0 = tuple(jnp.full(shape, 1.0 / k_classes, jnp.float32)
-                   for _ in range(k_classes))
-    gamma, kernel, alpha = jax.lax.fori_loop(
-        0, num_iters, iteration, (gamma0, kernel0, alpha0))
-    for k in range(k_classes):
-        gamma_ref[0, k] = gamma[k]
-        kern_ref[0, k] = kernel[k]
-        alpha_ref[0, k] = alpha[k]
+    acc_re0, acc_im0, sum_g0 = mstep_init()
+    cov_re0, cov_im0 = finalize_covar(acc_re0, acc_im0, sum_g0)
+    if update_alpha:
+        alpha0 = tuple(sum_g0[k] / fm_den for k in range(k_classes))
+    else:
+        alpha0 = tuple(jnp.full(shape, 1.0 / k_classes, jnp.float32)
+                       for _ in range(k_classes))
+    jax.lax.fori_loop(0, num_iters, iteration,
+                      (cov_re0, cov_im0, alpha0))
 
 
 @partial(jax.jit, static_argnames=("m", "k_classes", "num_iters",
