@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Disk-to-disk corpus benchmark: manifest in -> enhanced wavs out.
+
+This is the reference's native operating mode
+(/root/reference/scripts/run_adapt_beamformer.sh:55-75 reads a wav scp +
+mask dir and writes enhanced wavs via
+scripts/sptk/libs/data_handler.py:372-393); every other committed number
+in this repo times device-resident arrays.  This script measures the
+PRACTICAL corpus rate of the batched CLI path — native threaded wav
+decode (io/native_wav.py) with decode-ahead (io/prefetch.py), .npy mask
+reads, host->device transfer, the fused MVDR chip step, device->host
+fetch and wav writes — and attributes which stage saturates first.
+
+Corpus: N six-channel 4 s utterances (int16 wav files) + (T, F) f32
+.npy masks, generated once into ``--workdir`` (re-used across runs).
+Two full passes are timed: pass 1 includes jit compile + cold page
+cache, pass 2 is the steady-state rate (jit cached in-process, file
+pages warm — the same state a multi-shard production run reaches after
+its first minute).  Stage probes (decode-only drain, mask-read-only,
+write-only) run on the same corpus.
+
+Writes BENCH_E2E_r05.json next to the repo's other artifacts.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SR = 16000
+SECS = 4
+CHANNELS = 6
+
+
+def build_corpus(workdir: Path, n_utts: int):
+    from setk_tpu.dsp import StftConfig
+    from setk_tpu.io.wave import write_wav
+    cfg = StftConfig()
+    wav_dir = workdir / "wav"
+    mask_dir = workdir / "mask"
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    mask_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    s = SECS * SR
+    t_frames = cfg.num_frames(s)
+    scp_lines = []
+    t0 = time.perf_counter()
+    for i in range(n_utts):
+        key = f"utt{i:05d}"
+        wav = (rng.standard_normal((CHANNELS, s)) * 3000).astype(np.int16)
+        write_wav(str(wav_dir / f"{key}.wav"), wav, sr=SR, normalized=False)
+        mask = rng.random((t_frames, cfg.num_bins)).astype(np.float32)
+        np.save(mask_dir / f"{key}.npy", mask)
+        scp_lines.append(f"{key} {wav_dir / f'{key}.wav'}\n")
+    with open(workdir / "wav.scp", "w") as fd:
+        fd.writelines(scp_lines)
+    print(f"corpus: {n_utts} utts x {SECS}s x {CHANNELS}ch built in "
+          f"{time.perf_counter() - t0:.1f}s "
+          f"({sum(f.stat().st_size for f in wav_dir.iterdir()) / 1e9:.2f} GB "
+          "wav)", flush=True)
+
+
+def probe_decode(workdir: Path, audio_s: float):
+    """Drain the prefetching loader (native threaded decode), no compute."""
+    from setk_tpu.io.prefetch import PrefetchWaveLoader
+    loader = PrefetchWaveLoader(str(workdir / "wav.scp"), sr=SR)
+    t0 = time.perf_counter()
+    n = 0
+    for _key, wav in loader:
+        n += 1
+        assert wav.shape[0] == CHANNELS
+    dt = time.perf_counter() - t0
+    rate = audio_s / dt
+    print(f"decode-only: {n} utts in {dt:.2f}s = {rate:,.0f} audio-s/s",
+          flush=True)
+    return rate
+
+
+def probe_masks(workdir: Path, audio_s: float):
+    t0 = time.perf_counter()
+    total = 0
+    for f in sorted((workdir / "mask").iterdir()):
+        total += np.load(f).nbytes
+    dt = time.perf_counter() - t0
+    rate = audio_s / dt
+    print(f"mask-read-only: {total / 1e9:.2f} GB in {dt:.2f}s = "
+          f"{rate:,.0f} audio-s/s", flush=True)
+    return rate
+
+
+def probe_write(workdir: Path, n_utts: int):
+    """Write the same volume of mono 4 s output wavs."""
+    from setk_tpu.io.wave import write_wav
+    out = workdir / "probe_out"
+    out.mkdir(exist_ok=True)
+    samp = np.zeros(SECS * SR, np.float32)
+    t0 = time.perf_counter()
+    for i in range(n_utts):
+        write_wav(str(out / f"w{i:05d}.wav"), samp, sr=SR)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out)
+    rate = n_utts * SECS / dt
+    print(f"write-only: {n_utts} mono wavs in {dt:.2f}s = "
+          f"{rate:,.0f} audio-s/s", flush=True)
+    return rate
+
+
+def run_pipeline(workdir: Path, batch_size: int, audio_s: float, label):
+    """One full disk-to-disk pass through the batched CLI machinery."""
+    from setk_tpu.dsp import StftConfig
+    from setk_tpu.io import WaveWriter
+    from setk_tpu.io.prefetch import PrefetchWaveLoader
+    from setk_tpu.io.readers import NumpyDirReader
+    from setk_tpu.parallel.executor import BatchEnhancer
+    cfg = StftConfig()
+    reader = PrefetchWaveLoader(str(workdir / "wav.scp"), sr=SR)
+    masks = NumpyDirReader(str(workdir / "mask"))
+    enhancer = BatchEnhancer(cfg, beamformer="mvdr", batch_size=batch_size)
+    dst = workdir / "out"
+    if dst.exists():
+        shutil.rmtree(dst)
+    done = 0
+    t0 = time.perf_counter()
+    with WaveWriter(str(dst), sr=SR) as writer:
+        for key, wav in reader:
+            mask = np.asarray(masks[key])
+            for dkey, samps in enhancer.add(key, wav.astype(np.float32),
+                                            mask):
+                writer.write(dkey, samps)
+                done += 1
+        for dkey, samps in enhancer.flush():
+            writer.write(dkey, samps)
+            done += 1
+    dt = time.perf_counter() - t0
+    rate = audio_s / dt
+    print(f"{label}: {done} utts disk-to-disk in {dt:.2f}s = "
+          f"{rate:,.0f} audio-s/s", flush=True)
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/root/e2e_corpus")
+    ap.add_argument("--utts", type=int, default=1024)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    workdir = Path(args.workdir)
+    if not (workdir / "wav.scp").exists():
+        build_corpus(workdir, args.utts)
+    n_utts = sum(1 for _ in open(workdir / "wav.scp"))
+    audio_s = n_utts * SECS
+
+    decode = probe_decode(workdir, audio_s)
+    maskr = probe_masks(workdir, audio_s)
+    writes = probe_write(workdir, min(n_utts, 256))
+    cold = run_pipeline(workdir, args.batch_size, audio_s,
+                        "pass 1 (compile + cold cache)")
+    warm = run_pipeline(workdir, args.batch_size, audio_s,
+                        "pass 2 (steady state)")
+
+    stages = {"decode_only": decode, "mask_read_only": maskr,
+              "write_only": writes}
+    bottleneck = min(stages, key=stages.get)
+    out = {
+        "corpus": {"utts": n_utts, "secs": SECS, "channels": CHANNELS,
+                   "audio_s": audio_s, "batch_size": args.batch_size},
+        "stages_audio_s_per_s": {k: round(v, 1) for k, v in stages.items()},
+        "disk_to_disk_audio_s_per_s": {"pass1_cold": round(cold, 1),
+                                       "pass2_steady": round(warm, 1)},
+        "bottleneck_stage": bottleneck,
+    }
+    path = args.out or str(Path(__file__).resolve().parent.parent /
+                           "BENCH_E2E_r05.json")
+    with open(path, "w") as fd:
+        json.dump(out, fd, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
