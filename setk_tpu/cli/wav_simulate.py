@@ -63,21 +63,29 @@ def run(args):
                           end=str(args.isotropic_noise_offset + mix_nsamps),
                           sr=args.sr)[0]
 
-    mix, spk_refs, noise = simulate(
-        src_spk,
-        src_begin=src_begin,
-        sdr=_floats(args.src_sdr),
-        src_rir=src_rir,
-        point_noise=point_noise,
-        point_noise_rir=_load_audio(args.point_noise_rir, sr=args.sr),
-        point_noise_snr=_floats(args.point_noise_snr),
-        point_noise_begin=_ints(args.point_noise_begin),
-        point_noise_repeat=bool(args.point_noise_repeat),
-        isotropic_noise=iso,
-        isotropic_snr=(_floats(args.isotropic_noise_snr) or [None])[0],
-        dump_channel=args.dump_channel,
-        norm_factor=args.norm_factor,
-        sr=args.sr)
+    # single-utterance CLI regime: pin the rFFT convolutions to the host
+    # backend — on a remote-compile accelerator a fresh process would pay
+    # a per-shape tunnel compile (seconds) against a ~10 ms convolution,
+    # and the reference's per-utterance RTF is the comparison point.
+    # Corpus-scale simulation batches on the accelerator instead
+    # (benchmarks/bench_sim.py batched row).
+    from setk_tpu.utils.hostdev import on_host
+    with on_host():
+        mix, spk_refs, noise = simulate(
+            src_spk,
+            src_begin=src_begin,
+            sdr=_floats(args.src_sdr),
+            src_rir=src_rir,
+            point_noise=point_noise,
+            point_noise_rir=_load_audio(args.point_noise_rir, sr=args.sr),
+            point_noise_snr=_floats(args.point_noise_snr),
+            point_noise_begin=_ints(args.point_noise_begin),
+            point_noise_repeat=bool(args.point_noise_repeat),
+            isotropic_noise=iso,
+            isotropic_snr=(_floats(args.isotropic_noise_snr) or [None])[0],
+            dump_channel=args.dump_channel,
+            norm_factor=args.norm_factor,
+            sr=args.sr)
 
     utt_dur = mix.shape[-1] / float(args.sr)
     cost = time.time() - start

@@ -96,9 +96,31 @@ def _cgmm_quad(obs, r_inv):
     return jnp.maximum(jnp.abs(quad), EPSILON)
 
 
-def _cgmm_predict(obs, phi, covar, alpha, frame_mask=None):
+def _quad_pairs(obs, r_inv):
+    """z^H R^{-1} z as a statically-unrolled M^2 pair loop (VPU form).
+
+    For ISOLATED calls (the EM init) this wins ~25x over the einsum
+    lowering; inside the EM scan the einsum fuses better — use
+    _cgmm_quad there (its docstring records both measurements)."""
     m = obs.shape[-2]
-    r_inv, logdet = regularized_inverse(covar, return_logdet=True)
+    quad = None
+    for i in range(m):
+        zi = obs[..., i, :]
+        d = jnp.real(r_inv[..., i, i])[..., None] * (
+            jnp.real(zi) ** 2 + jnp.imag(zi) ** 2)
+        quad = d if quad is None else quad + d
+        for j in range(i + 1, m):
+            p = jnp.conj(zi) * obs[..., j, :]
+            rij = r_inv[..., i, j][..., None]
+            quad = quad + 2.0 * (jnp.real(rij) * jnp.real(p) -
+                                 jnp.imag(rij) * jnp.imag(p))
+    return jnp.maximum(quad, EPSILON)
+
+
+def _cgmm_predict(obs, phi, covar, alpha, frame_mask=None, logdet=None):
+    m = obs.shape[-2]
+    if logdet is None:
+        _, logdet = regularized_inverse(covar, return_logdet=True)
     log_pdf = -m * jnp.log(phi) - logdet[..., None]
     return _posterior(log_pdf, alpha, frame_mask)
 
@@ -146,13 +168,15 @@ def cgmm_em(obs: jax.Array,
         den = jnp.maximum(jnp.sum(g, -1, keepdims=True), EPSILON)
         covar = _weighted_covar(obs, g) / den[..., None]
     elif num_classes == 2:
+        # sample covariance through the routed pair-loop/Pallas path —
+        # the einsum lowering (batched tiny matmuls) cost ~5 ms of the
+        # measured 5.0 ms CGMM init overhead (profile_em5 r05)
         if fm is None:
-            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs),
-                            precision=GRAM_PRECISION) / t
+            w0 = jnp.ones((1, *batch, f, t))
+            rs = _weighted_covar(obs, w0)[0] / t
         else:
-            mobs = obs * fm[..., None, :]
-            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs),
-                             precision=GRAM_PRECISION) /
+            w0 = jnp.broadcast_to(fm, (*batch, f, t))[None]
+            rs = (_weighted_covar(obs, w0)[0] /
                   jnp.maximum(jnp.sum(fm, -1), 1.0)[..., None, None])
         rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
         covar = jnp.stack([rs, rn])
@@ -165,11 +189,12 @@ def cgmm_em(obs: jax.Array,
         g = gamma if fm is None else gamma * fm
         den = jnp.maximum(jnp.sum(g, -1, keepdims=True), EPSILON)
         covar = _weighted_covar(obs, g) / den[..., None]
-    # init phi from R^{-1}
-    r_inv = regularized_inverse(covar)
-    phi = _cgmm_quad(obs, r_inv) / m
+    # init phi from R^{-1}: ONE shared inverse (the predict only needs
+    # its logdet) + the isolated-call pair-loop quad
+    r_inv, logdet0 = regularized_inverse(covar, return_logdet=True)
+    phi = _quad_pairs(obs, r_inv) / m
     alpha = jnp.full((num_classes, *batch, f), 1.0 / num_classes)
-    gamma, _ = _cgmm_predict(obs, phi, covar, alpha)
+    gamma, _ = _cgmm_predict(obs, phi, covar, alpha, logdet=logdet0)
     # TPU: the whole EM loop runs inside ONE Pallas kernel, same
     # machinery as the fused CACGMM (ops/pallas/cacgmm_em.py, model
     # switch "cg"); state resume stays on the XLA path (the kernel
@@ -202,7 +227,8 @@ def _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters, update_alpha,
         # M-step: R and phi (reference order: update then predict)
         den = jnp.maximum(jnp.sum(g, -1, keepdims=True), EPSILON)
         covar = _weighted_covar(obs, g * m / phi) / den[..., None]
-        r_inv = regularized_inverse(covar)
+        # one shared inverse: the predict below only consumes its logdet
+        r_inv, logdet = regularized_inverse(covar, return_logdet=True)
         phi = _cgmm_quad(obs, r_inv) / m
         if update_alpha:
             if fm is None:
@@ -211,7 +237,7 @@ def _cgmm_scan(obs, phi, covar, alpha, gamma, m, num_iters, update_alpha,
                 alpha = jnp.sum(g, -1) / jnp.maximum(
                     jnp.sum(jnp.broadcast_to(fm, gamma.shape), -1), 1.0)
         # E-step
-        gamma, q = _cgmm_predict(obs, phi, covar, alpha, fm)
+        gamma, q = _cgmm_predict(obs, phi, covar, alpha, fm, logdet=logdet)
         return (phi, covar, alpha, gamma), q
 
     (phi, covar, alpha, gamma), q_hist = jax.lax.scan(
@@ -267,14 +293,13 @@ def cacgmm_em(obs: jax.Array,
         alpha = jnp.asarray(state["alpha"])
         gamma, kernel, _ = _cacgmm_predict(obs, covar, alpha)
     elif cgmm_init and num_classes == 2:
+        # routed pair-loop/Pallas covariance (see the cgmm_em init note)
         if frame_mask is None:
-            rs = jnp.einsum("...xt,...yt->...xy", obs, jnp.conj(obs),
-                            precision=GRAM_PRECISION) / t
+            rs = _weighted_covar(obs, jnp.ones((1, *batch, f, t)))[0] / t
         else:
             fm0 = jnp.asarray(frame_mask)
-            mobs = obs * fm0[..., None, :]
-            rs = (jnp.einsum("...xt,...yt->...xy", mobs, jnp.conj(obs),
-                             precision=GRAM_PRECISION) /
+            w0 = jnp.broadcast_to(fm0, (*batch, f, t))[None]
+            rs = (_weighted_covar(obs, w0)[0] /
                   jnp.maximum(jnp.sum(fm0, -1), 1.0)[..., None, None])
         rn = jnp.broadcast_to(jnp.eye(m, dtype=obs.dtype), rs.shape)
         covar = jnp.stack([rs, rn])

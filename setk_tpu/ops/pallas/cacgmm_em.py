@@ -57,10 +57,11 @@ _SWEEPS = 6
 _VMEM_BUDGET = 64 * 1024 * 1024
 
 
-_CHUNK = 64
+_CHUNK = 128
 
 
 def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
+               chunk,
                zre_ref, zim_ref, g0_ref, k0_ref, fm_ref,
                gamma_ref, kern_ref, q_ref, cre_ref, cim_ref, alpha_ref):
     """One grid step = 1024 bins, all EM iterations.
@@ -87,8 +88,14 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
     t_full = fm_ref.shape[1]
     fm = fm_ref[0]                              # (T, 8, 128)
     fm_den = jnp.maximum(jnp.sum(fm, axis=0), 1.0)  # (8, 128)
-    chunks = [(c0, min(c0 + _CHUNK, t_full))
-              for c0 in range(0, t_full, _CHUNK)]
+    # chunk granularity trades cached-pair VMEM against op issue count:
+    # 64-frame chunks measured ~2.5 ms SLOWER than the round-4 two-pass
+    # kernel at T=251 (4x the elementwise op count at quarter size);
+    # chunk >= T degenerates to one whole-T pass with all 21 pairs
+    # cached (+42 T-planes of VMEM)
+    chunk = max(int(chunk), 8)
+    chunks = [(c0, min(c0 + chunk, t_full))
+              for c0 in range(0, t_full, chunk)]
 
     def prod(i, j, c0, c1):
         """Pair product P[i][j] = conj(z_i) z_j on frames [c0, c1)."""
@@ -147,7 +154,10 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
         tup = lambda x: tuple(tuple(tuple(r) for r in c) for c in x)
         return tup(cov_re), tup(cov_im)
 
-    def iteration(it, carry):
+    def iteration(it, carry, with_mstep=True):
+        """One EM iteration; ``with_mstep=False`` is the statically
+        unrolled FINAL iteration, whose next-covariance accumulation
+        would be dead work (the two-pass form never computes it)."""
         covar_re, covar_im, alpha = carry
         # persist the carry-in state (last write wins -> the values at
         # entry of the LAST iteration, matching the two-pass form's
@@ -218,15 +228,20 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
             for k in range(k_classes):
                 gamma_ref[0, k, c0:c1] = gamma_c[k]
                 kern_ref[0, k, c0:c1] = quad[k]
+                if not with_mstep:
+                    continue
                 g = gamma_c[k] * fm_c
                 sum_g[k] = sum_g[k] + jnp.sum(g, axis=0)
                 w[k] = g / jnp.maximum(quad[k], EPSILON)
-            for i in range(m):
-                for j in range(i, m):
-                    for k in range(k_classes):
-                        accumulate_covar(w[k], p_re[i][j], p_im[i][j],
-                                         acc_re, acc_im, k, i, j)
+            if with_mstep:
+                for i in range(m):
+                    for j in range(i, m):
+                        for k in range(k_classes):
+                            accumulate_covar(w[k], p_re[i][j], p_im[i][j],
+                                             acc_re, acc_im, k, i, j)
         q_ref[0, it] = qacc
+        if not with_mstep:
+            return carry
         cov_re, cov_im = finalize_covar(acc_re, acc_im, sum_g)
         if update_alpha:
             alpha = tuple(sum_g[k] / fm_den for k in range(k_classes))
@@ -239,15 +254,17 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
     else:
         alpha0 = tuple(jnp.full(shape, 1.0 / k_classes, jnp.float32)
                        for _ in range(k_classes))
-    jax.lax.fori_loop(0, num_iters, iteration,
-                      (cov_re0, cov_im0, alpha0))
+    carry = (cov_re0, cov_im0, alpha0)
+    if num_iters > 1:
+        carry = jax.lax.fori_loop(0, num_iters - 1, iteration, carry)
+    iteration(num_iters - 1, carry, with_mstep=False)
 
 
 @partial(jax.jit, static_argnames=("m", "k_classes", "num_iters",
                                    "update_alpha", "sweeps", "model",
-                                   "interpret"))
+                                   "chunk", "interpret"))
 def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
-               update_alpha, sweeps, model, interpret):
+               update_alpha, sweeps, model, chunk, interpret):
     """Blocked entry: all arrays carry a leading (nb,) block axis."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -258,7 +275,7 @@ def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_em_kernel, m, k_classes, num_iters, update_alpha,
-                     sweeps, model)
+                     sweeps, model, chunk)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -298,9 +315,11 @@ def cacgmm_fused_supported(shape, num_classes: int,
     *batch, f, m, t = shape
     if m > 8 or num_classes > 4 or num_iters > 64:
         return False
-    # resident block arrays: z (2m), gamma/kernel in (2K) + gamma/kern
-    # out (2K) + loop-carried copies (~K), fm
-    per_bin = 4 * t * (2 * m + 5 * num_classes + 1)
+    # resident block arrays: z (2m), gamma/kernel in (2K) + out (2K),
+    # fm, plus the chunk-sized cached pair products (m*(m+1) planes of
+    # one chunk) and per-chunk posterior transients (~4K planes)
+    per_bin = 4 * (t * (2 * m + 4 * num_classes + 1) +
+                   min(_CHUNK, t) * (m * (m + 1) + 4 * num_classes))
     return per_bin * _TILE <= _VMEM_BUDGET
 
 
@@ -323,7 +342,7 @@ def _to_bins(arr, lead_shape, t):
 
 
 def _em_pallas(obs, gamma0, kernel0, num_iters, model, update_alpha,
-               frame_mask, return_state, sweeps, interpret):
+               frame_mask, return_state, sweeps, chunk, interpret):
     """Shared fused-EM driver for both mixture models.
 
     obs (..., F, M, T), gamma0/kernel0 (K, ..., F, T); ``kernel0`` is the
@@ -352,7 +371,7 @@ def _em_pallas(obs, gamma0, kernel0, num_iters, model, update_alpha,
     gamma_b, kern_b, q_b, cre_b, cim_b, alpha_b = _em_blocks(
         zre, zim, g0b, k0b, fmb, m=m, k_classes=k_classes,
         num_iters=num_iters, update_alpha=update_alpha, sweeps=sweeps,
-        model=model, interpret=interpret)
+        model=model, chunk=chunk, interpret=interpret)
 
     def from_bins(blocked, inner):
         # (nb, inner..., 8, 128) -> (nbins, inner...)
@@ -385,6 +404,7 @@ def cacgmm_em_pallas(obs: jax.Array,
                      frame_mask: jax.Array | None = None,
                      return_state: bool = False,
                      sweeps: int = _SWEEPS,
+                     chunk: int = _CHUNK,
                      interpret: bool = False):
     """Fused CACGMM EM: obs (..., F, M, T) L2-normalized observations,
     gamma0/kernel0 (K, ..., F, T) initial responsibilities/kernels.
@@ -395,7 +415,7 @@ def cacgmm_em_pallas(obs: jax.Array,
     """
     return _em_pallas(obs, gamma0, kernel0, num_iters, "cacg",
                       update_alpha, frame_mask, return_state, sweeps,
-                      interpret)
+                      chunk, interpret)
 
 
 def cgmm_em_pallas(obs: jax.Array,
@@ -406,6 +426,7 @@ def cgmm_em_pallas(obs: jax.Array,
                    frame_mask: jax.Array | None = None,
                    return_state: bool = False,
                    sweeps: int = _SWEEPS,
+                   chunk: int = _CHUNK,
                    interpret: bool = False):
     """Fused CGMM EM: obs (..., F, M, T) RAW (unnormalized) spectra,
     gamma0/phi0 (K, ..., F, T) initial responsibilities / class powers
@@ -415,4 +436,4 @@ def cgmm_em_pallas(obs: jax.Array,
     """
     return _em_pallas(obs, gamma0, phi0, num_iters, "cg",
                       update_alpha, frame_mask, return_state, sweeps,
-                      interpret)
+                      chunk, interpret)
