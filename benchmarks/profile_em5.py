@@ -106,16 +106,8 @@ def main():
         timed_scan(f"L1 cacgmm sweeps={sw} ({ITERS} it)", body, (re, im),
                    audio, iters=8)
 
-    # chunk granularity sweep (issue count vs cached-pair VMEM)
-    for ch in (64, 128, 256):
-        def body(carry, _ch=ch):
-            r, i = carry
-            obs_n = norm_observation(r + 1j * i, axis=-2)
-            gamma, _ = cacgmm_em_pallas(obs_n, g0, ones, ITERS, chunk=_ch)
-            return (r * 0.999 + gamma[0][..., None, :] * 1e-6, i)
-
-        timed_scan(f"L1 cacgmm chunk={ch} ({ITERS} it)", body, (re, im),
-                   audio, iters=8)
+    # (a chunked single-pass restructure was swept here in r05 and
+    # REVERTED: same-process compare profile_em5b.py — doc/KERNELS.md)
 
 
 if __name__ == "__main__":
