@@ -55,7 +55,7 @@ def build_corpus(workdir: Path, n_utts: int):
     for i in range(n_utts):
         key = f"utt{i:05d}"
         wav = (rng.standard_normal((CHANNELS, s)) * 3000).astype(np.int16)
-        write_wav(str(wav_dir / f"{key}.wav"), wav, sr=SR, normalized=False)
+        write_wav(str(wav_dir / f"{key}.wav"), wav, sr=SR, normalize=False)
         mask = rng.random((t_frames, cfg.num_bins)).astype(np.float32)
         np.save(mask_dir / f"{key}.npy", mask)
         scp_lines.append(f"{key} {wav_dir / f'{key}.wav'}\n")
@@ -147,7 +147,9 @@ def run_pipeline(workdir: Path, batch_size: int, audio_s: float, label):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/root/e2e_corpus")
+    ap.add_argument("--workdir",
+                    default=str(Path(__file__).resolve().parent.parent /
+                                "scratch" / "e2e_corpus"))
     ap.add_argument("--utts", type=int, default=1024)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--out", default=None)

@@ -156,7 +156,9 @@ def batched_rate(workdir: Path, batch=32):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/root/sim_bench")
+    ap.add_argument("--workdir",
+                    default=str(Path(__file__).resolve().parent.parent /
+                                "scratch" / "sim_bench"))
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--skip-batched", action="store_true")
     args = ap.parse_args()
@@ -166,7 +168,10 @@ def main():
 
     import os
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/reference/scripts/sptk:" + \
+    # _ref_stubs provides the librosa/soundfile surface libs/utils.py
+    # imports (absent in this image); stdlib-wave PCM16 IO underneath
+    stubs = str(Path(__file__).resolve().parent / "_ref_stubs")
+    env["PYTHONPATH"] = stubs + ":/root/reference/scripts/sptk:" + \
         env.get("PYTHONPATH", "")
     ref_min, ref_all = run_cli(
         [sys.executable, REF] + sim_args(workdir, workdir / "ref_mix.wav"),

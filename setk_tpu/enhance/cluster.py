@@ -162,6 +162,23 @@ def cgmm_em(obs: jax.Array,
                           update_alpha, return_state,
                           frame_mask=frame_mask)
     fm = None if frame_mask is None else jnp.asarray(frame_mask)
+    if use_fused is None:
+        from setk_tpu.utils.hostdev import tpu_target
+        use_fused = tpu_target()
+    if use_fused and gamma_init is None and num_classes == 2:
+        # K=2 Higuchi covariance init IN-KERNEL: the XLA entry path
+        # (covar_stats + Jacobi inverse + pair-loop quad + predict, each
+        # its own dispatch) measured ~6.7 ms/call at B=32 x 4 s — the
+        # entire CGMM-vs-CACGMM gap, paid 3x per WPD call
+        # (benchmarks/profile_em5.py r05)
+        from setk_tpu.ops.pallas.cacgmm_em import (cgmm_em_pallas,
+                                                   cacgmm_fused_supported)
+        if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
+            kw = {} if sweeps is None else {"sweeps": sweeps}
+            return cgmm_em_pallas(obs, None, None, num_iters,
+                                  update_alpha=update_alpha,
+                                  frame_mask=fm, init="higuchi",
+                                  return_state=return_state, **kw)
     if gamma_init is not None:
         gamma = jnp.asarray(gamma_init)
         g = gamma if fm is None else gamma * fm
@@ -288,6 +305,21 @@ def cacgmm_em(obs: jax.Array,
     *batch, f, m, t = obs.shape
     alpha = jnp.full((num_classes, *batch, f), 1.0 / num_classes)
 
+    if use_fused is None:
+        from setk_tpu.utils.hostdev import tpu_target
+        use_fused = tpu_target() and state is None
+    if use_fused and state is None and cgmm_init and num_classes == 2 \
+            and gamma_init is None:
+        # covariance init in-kernel (see the cgmm_em dispatch note)
+        from setk_tpu.ops.pallas.cacgmm_em import (cacgmm_em_pallas,
+                                                   cacgmm_fused_supported)
+        if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
+            kw = {} if sweeps is None else {"sweeps": sweeps}
+            fm0 = None if frame_mask is None else jnp.asarray(frame_mask)
+            return cacgmm_em_pallas(obs, None, None, num_iters,
+                                    update_alpha=update_alpha,
+                                    frame_mask=fm0, init="higuchi",
+                                    return_state=return_state, **kw)
     if state is not None:
         covar = jnp.asarray(state["covar"])
         alpha = jnp.asarray(state["alpha"])

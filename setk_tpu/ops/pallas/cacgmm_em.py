@@ -42,6 +42,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from setk_tpu.utils.common import EPSILON
 from setk_tpu.ops.pallas.eigh_small import jacobi_regularized_inverse
@@ -58,15 +59,30 @@ _VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
-               zre_ref, zim_ref, g0_ref, k0_ref, fm_ref,
-               gamma_ref, kern_ref, q_ref, cre_ref, cim_ref, alpha_ref):
+               init, init_form, *refs):
     """One grid step = 1024 bins, all EM iterations.
 
     Ref shapes (leading block axis dropped by the BlockSpecs):
       zre/zim: (M, T, 8, 128)   g0/k0: (K, T, 8, 128)   fm: (T, 8, 128)
       gamma/kern: (K, T, 8, 128)   q: (num_iters, 8, 128)
       cre/cim: (K, M*M, 8, 128) alpha: (K, 8, 128)
+
+    With ``init == "higuchi"`` the g0/k0 operands are ABSENT: the K=2
+    covariance init (class 0 = fm-weighted sample covariance, class 1 =
+    identity — /root/reference/scripts/sptk/libs/cluster.py:415-441)
+    runs in-kernel as one extra half-iteration before the EM loop.  The
+    XLA entry path for the same init (covar_stats kernel + Jacobi
+    inverse kernel + pair-loop quad + posterior, each a separate
+    dispatch with its own layout glue) measured ~6.7 ms/call at
+    B=32 x 4 s (benchmarks/profile_em5.py r05) — the entire
+    CGMM-vs-CACGMM throughput gap, paid 3x per WPD call.
     """
+    if init == "higuchi":
+        (zre_ref, zim_ref, fm_ref,
+         gamma_ref, kern_ref, q_ref, cre_ref, cim_ref, alpha_ref) = refs
+    else:
+        (zre_ref, zim_ref, g0_ref, k0_ref, fm_ref,
+         gamma_ref, kern_ref, q_ref, cre_ref, cim_ref, alpha_ref) = refs
     shape = (_ROWS, _LANES)
     fm = fm_ref[0]                              # (T, 8, 128)
     fm_den = jnp.maximum(jnp.sum(fm, axis=0), 1.0)  # (8, 128)
@@ -81,57 +97,35 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
         p_im = zi_re * zj_im - zi_im * zj_re
         return p_re, p_im
 
-    def iteration(it, carry):
-        gamma, kernel, alpha = carry   # K-tuples of (T,8,128) / (8,128)
-        # ---- M-step ---------------------------------------------------
-        # per-class weights first, then ONE pair pass with the class
-        # loop INSIDE: each (T, 8, 128) pair product is computed once
-        # per pass instead of once per class (at K=2 this removes ~30%
-        # of the kernel's T-proportional VPU ops; caching the pairs
-        # ACROSS the covar and quad passes would instead cost +42 MB of
-        # VMEM per block at T=251)
-        w = [None] * k_classes
-        alpha_new = [None] * k_classes
-        for k in range(k_classes):
-            g = gamma[k] * fm                                   # (T,8,128)
-            den = jnp.maximum(jnp.sum(g, axis=0), EPSILON)      # (8,128)
-            # the floor only matters for zero-padded bins (kernel plane
-            # pads with 0 -> 0/0 NaN would poison Q); real bins carry
-            # kernel = quad >= EPSILON already
-            w[k] = (g / jnp.maximum(kernel[k], EPSILON)) * (m / den)
-            alpha_new[k] = (jnp.sum(g, axis=0) / fm_den
-                            if update_alpha else alpha[k])
-        alpha = tuple(alpha_new)
-        covar_re = [[[None] * m for _ in range(m)]
-                    for _ in range(k_classes)]
-        covar_im = [[[None] * m for _ in range(m)]
-                    for _ in range(k_classes)]
-        for i in range(m):
-            for j in range(i, m):
-                p_re, p_im = prod(i, j)
-                for k in range(k_classes):
-                    # R_ij = sum_t w * z_i conj(z_j) = sum w * conj(P_ij)
-                    covar_re[k][i][j] = jnp.sum(w[k] * p_re, axis=0)
-                    covar_im[k][i][j] = -jnp.sum(w[k] * p_im, axis=0)
-                    if j != i:
-                        covar_re[k][j][i] = covar_re[k][i][j]
-                        covar_im[k][j][i] = -covar_im[k][i][j]
-        # ---- E-step ---------------------------------------------------
+    def e_step(covar_re, covar_im, alpha, eye_class=None):
+        """Inverse + quadratic + posterior from per-class covariances.
+
+        ``eye_class`` marks a class whose covariance is EXACTLY the
+        identity (the Higuchi noise init): its inverse is I (logdet of
+        the max-scaled spectrum = 0) and its quadratic collapses to
+        sum_i |z_i|^2 — no Jacobi, no off-diagonal terms.
+        Returns (gamma, quad/phi plane, log_marginal)."""
         b_re = [None] * k_classes
         b_im = [None] * k_classes
         logdets = [None] * k_classes
         for k in range(k_classes):
-            b_re[k], b_im[k], logdets[k] = jacobi_regularized_inverse(
-                covar_re[k], covar_im[k], m, sweeps)
+            if k == eye_class:
+                logdets[k] = jnp.zeros(shape, jnp.float32)
+            else:
+                b_re[k], b_im[k], logdets[k] = jacobi_regularized_inverse(
+                    covar_re[k], covar_im[k], m, sweeps)
         qds = [jnp.zeros_like(fm) for _ in range(k_classes)]
         for i in range(m):
             p_re, _ = prod(i, i)
             for k in range(k_classes):
-                qds[k] = qds[k] + b_re[k][i][i] * p_re
+                d = p_re if k == eye_class else b_re[k][i][i] * p_re
+                qds[k] = qds[k] + d
         for i in range(m):
             for j in range(i + 1, m):
                 p_re, p_im = prod(i, j)
                 for k in range(k_classes):
+                    if k == eye_class:
+                        continue
                     # 2 Re(conj(z_i) B_ij z_j) = 2 (Bre Pre - Bim Pim)
                     qds[k] = qds[k] + 2.0 * (b_re[k][i][j] * p_re -
                                              b_im[k][i][j] * p_im)
@@ -162,6 +156,18 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
         gamma = tuple(jnp.minimum(num[k] / den_p, 1.0)
                       for k in range(k_classes))
         log_marg = mx + jnp.log(den_p)                      # (T,8,128)
+        return gamma, tuple(quad), log_marg
+
+    def iteration(it, carry):
+        gamma, kernel, alpha = carry   # K-tuples of (T,8,128) / (8,128)
+        # M-step then E-step: per-class weights first, then ONE pair
+        # pass with the class loop INSIDE — each (T, 8, 128) pair
+        # product is computed once per pass instead of once per class
+        # (at K=2 this removes ~30% of the kernel's T-proportional VPU
+        # ops; caching the pairs ACROSS the covar and quad passes would
+        # instead cost +42 MB of VMEM per block at T=251)
+        covar_re, covar_im, alpha = m_step(gamma, kernel, alpha)
+        gamma, quad, log_marg = e_step(covar_re, covar_im, alpha)
         q_ref[0, it] = jnp.sum(log_marg * fm, axis=0)
         # persist the M-step state (last iteration wins)
         for k in range(k_classes):
@@ -169,14 +175,120 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
                 for j in range(m):
                     cre_ref[0, k, i * m + j] = covar_re[k][i][j]
                     cim_ref[0, k, i * m + j] = covar_im[k][i][j]
-        return gamma, tuple(quad), alpha
+        return gamma, quad, alpha
 
-    gamma0 = tuple(g0_ref[0, k] for k in range(k_classes))
-    kernel0 = tuple(k0_ref[0, k] for k in range(k_classes))
+    def m_step(gamma, kernel, alpha):
+        """Weighted covariances (+ alpha update) from responsibilities —
+        the M-step half of ``iteration``, shared by the covariance-carry
+        loop below.  Returns (covar_re, covar_im, alpha)."""
+        w = [None] * k_classes
+        alpha_new = [None] * k_classes
+        for k in range(k_classes):
+            g = gamma[k] * fm
+            den = jnp.maximum(jnp.sum(g, axis=0), EPSILON)
+            w[k] = (g / jnp.maximum(kernel[k], EPSILON)) * (m / den)
+            alpha_new[k] = (jnp.sum(g, axis=0) / fm_den
+                            if update_alpha else alpha[k])
+        covar_re = [[[None] * m for _ in range(m)]
+                    for _ in range(k_classes)]
+        covar_im = [[[None] * m for _ in range(m)]
+                    for _ in range(k_classes)]
+        for i in range(m):
+            for j in range(i, m):
+                p_re, p_im = prod(i, j)
+                for k in range(k_classes):
+                    covar_re[k][i][j] = jnp.sum(w[k] * p_re, axis=0)
+                    covar_im[k][i][j] = -jnp.sum(w[k] * p_im, axis=0)
+                    if j != i:
+                        covar_re[k][j][i] = covar_re[k][i][j]
+                        covar_im[k][j][i] = -covar_im[k][i][j]
+        return covar_re, covar_im, tuple(alpha_new)
+
+    def higuchi_covars(_):
+        """K=2 covariance init: class 0 = fm-weighted sample covariance
+        / max(sum fm, 1), class 1 = identity — exactly the XLA entry
+        path's init (enhance/cluster.cgmm_em), computed in-kernel.
+        Jacobi of an exact identity is exact: all off-diagonals are
+        already annihilated, eigenvalues 1, logdet of the max-scaled
+        spectrum 0."""
+        cre0 = [[[jnp.zeros(shape, jnp.float32) for _ in range(m)]
+                 for _ in range(m)] for _ in range(k_classes)]
+        cim0 = [[[jnp.zeros(shape, jnp.float32) for _ in range(m)]
+                 for _ in range(m)] for _ in range(k_classes)]
+        for i in range(m):
+            for j in range(i, m):
+                p_re, p_im = prod(i, j)
+                # R_ij = sum_t fm * z_i conj(z_j) / den = sum fm conj(P)
+                cre0[0][i][j] = jnp.sum(fm * p_re, axis=0) / fm_den
+                cim0[0][i][j] = -jnp.sum(fm * p_im, axis=0) / fm_den
+                if j != i:
+                    cre0[0][j][i] = cre0[0][i][j]
+                    cim0[0][j][i] = -cim0[0][i][j]
+            cre0[1][i][i] = jnp.ones(shape, jnp.float32)
+        return cre0, cim0
+
     alpha0 = tuple(jnp.full(shape, 1.0 / k_classes, jnp.float32)
                    for _ in range(k_classes))
-    gamma, kernel, alpha = jax.lax.fori_loop(
-        0, num_iters, iteration, (gamma0, kernel0, alpha0))
+    if init == "higuchi" and init_form == "plane":
+        # FAST form: the init predict (Higuchi covariances -> e_step)
+        # runs once BEFORE the loop and the loop keeps the operand
+        # path's (gamma, kernel) plane carry.  Costs ~+35 MB of scoped
+        # VMEM (the init e_step's planes stay allocated across the
+        # loop: 102.5M at M=6 T=251) so the driver selects it only
+        # when the calibrated footprint model fits — see
+        # _plane_init_fits.  Two slower alternatives measured
+        # (profile_em5 r05, L2 cgmm 20 it): carrying the tiny
+        # covariances instead of the planes (22.8 ms packed / 23.7
+        # nested vs 19.2 here — per-iteration carry glue), and a
+        # lax.cond covariance source inside the loop (24.8 ms — the
+        # branch poisons Mosaic's loop pipelining).
+        cre0, cim0 = higuchi_covars(None)
+        gamma0, kernel0, _ = e_step(cre0, cim0, alpha0, eye_class=1)
+        gamma, kernel, alpha = jax.lax.fori_loop(
+            0, num_iters, iteration, (gamma0, kernel0, alpha0))
+    elif init == "higuchi":
+        # LONG-T form: carry the TINY (K*M*M, 8, 128) packed covariance
+        # tiles instead of the (K, T) planes — E-step then M-step per
+        # trip, one final E-step after the loop; same math and update
+        # order (the e_step of the carried covar IS the predict that
+        # closed the previous iteration).  Fits T >= 1001 where every
+        # plane-carry form OOMs; ~3.3 ms/call slower at T=251.
+        def pack(c):
+            return jnp.stack([c[k][i][j] for k in range(k_classes)
+                              for i in range(m) for j in range(m)])
+
+        def unpack(p):
+            return [[[p[(k * m + i) * m + j] for j in range(m)]
+                     for i in range(m)] for k in range(k_classes)]
+
+        def cov_iteration(it, carry):
+            pre, pim, alpha = carry
+            gamma, quad, log_marg = e_step(unpack(pre), unpack(pim),
+                                           alpha)
+            # the init predict's Q (trip 0) is not part of the history:
+            # slot 0 is overwritten by trip 1 (the XLA path discards
+            # the init predict's Q the same way)
+            q_ref[0, jnp.maximum(it - 1, 0)] = jnp.sum(log_marg * fm,
+                                                       axis=0)
+            covar_re, covar_im, alpha = m_step(gamma, quad, alpha)
+            return pack(covar_re), pack(covar_im), alpha
+
+        cre0, cim0 = higuchi_covars(None)
+        pre, pim, alpha = jax.lax.fori_loop(
+            0, num_iters, cov_iteration, (pack(cre0), pack(cim0), alpha0))
+        covar_re, covar_im = unpack(pre), unpack(pim)
+        gamma, kernel, log_marg = e_step(covar_re, covar_im, alpha)
+        q_ref[0, num_iters - 1] = jnp.sum(log_marg * fm, axis=0)
+        for k in range(k_classes):
+            for i in range(m):
+                for j in range(m):
+                    cre_ref[0, k, i * m + j] = covar_re[k][i][j]
+                    cim_ref[0, k, i * m + j] = covar_im[k][i][j]
+    else:
+        gamma0 = tuple(g0_ref[0, k] for k in range(k_classes))
+        kernel0 = tuple(k0_ref[0, k] for k in range(k_classes))
+        gamma, kernel, alpha = jax.lax.fori_loop(
+            0, num_iters, iteration, (gamma0, kernel0, alpha0))
     for k in range(k_classes):
         gamma_ref[0, k] = gamma[k]
         kern_ref[0, k] = kernel[k]
@@ -185,10 +297,14 @@ def _em_kernel(m, k_classes, num_iters, update_alpha, sweeps, model,
 
 @partial(jax.jit, static_argnames=("m", "k_classes", "num_iters",
                                    "update_alpha", "sweeps", "model",
-                                   "interpret"))
+                                   "init", "init_form", "interpret"))
 def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
-               update_alpha, sweeps, model, interpret):
-    """Blocked entry: all arrays carry a leading (nb,) block axis."""
+               update_alpha, sweeps, model, init, init_form, interpret):
+    """Blocked entry: all arrays carry a leading (nb,) block axis.
+
+    With ``init`` set, g0/k0 are None (jit treats them as empty
+    pytrees) and the kernel takes no responsibility/plane operands.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nb, _, t = zre.shape[:3]
@@ -198,13 +314,15 @@ def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_em_kernel, m, k_classes, num_iters, update_alpha,
-                     sweeps, model)
+                     sweeps, model, init, init_form)
+    g0k0_args = [] if init else [g0, k0]
+    g0k0_specs = [] if init else [spec(k_classes, t, _ROWS, _LANES),
+                                  spec(k_classes, t, _ROWS, _LANES)]
     return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[spec(m, t, _ROWS, _LANES), spec(m, t, _ROWS, _LANES),
-                  spec(k_classes, t, _ROWS, _LANES),
-                  spec(k_classes, t, _ROWS, _LANES),
+                  *g0k0_specs,
                   spec(t, _ROWS, _LANES)],
         out_specs=[spec(k_classes, t, _ROWS, _LANES),
                    spec(k_classes, t, _ROWS, _LANES),
@@ -226,10 +344,28 @@ def _em_blocks(zre, zim, g0, k0, fm, m, k_classes, num_iters,
             jax.ShapeDtypeStruct((nb, k_classes, _ROWS, _LANES),
                                  jnp.float32),
         ],
+        # 116M: the in-kernel Higuchi init keeps its predict planes live
+        # into the EM loop — 102.5M measured at B=32 x 4 s vs the old
+        # 100M cap; the v5e core has 128M of VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=116 * 1024 * 1024),
         interpret=interpret,
-    )(zre, zim, g0, k0, fm)
+    )(zre, zim, *g0k0_args, fm)
+
+
+def _plane_init_fits(t: int, m: int, k_classes: int) -> bool:
+    """Measurement-calibrated scoped-VMEM model for the FAST init form
+    (init e_step before the loop, plane carry).
+
+    Measured on the v5e (Mosaic scoped-vmem reports, K=2): M=6 T=251 ->
+    102.5M, M=6 T=501 -> 167.35M (linear in T: ~38M + 0.259M/frame);
+    M=5 T=368 compiled under the 116M limit, consistent with per-frame
+    cost scaling ~2M (the z planes + per-class planes).  Model:
+    38M + T * 2m * 22.6KB, gated at 112M for margin under the 116M
+    compiler limit (128M physical minus Mosaic temporaries).
+    """
+    est = 38 * 1024 * 1024 + t * 2 * m * 22600 * max(k_classes / 2, 1.0)
+    return est <= 112 * 1024 * 1024
 
 
 def cacgmm_fused_supported(shape, num_classes: int,
@@ -263,14 +399,19 @@ def _to_bins(arr, lead_shape, t):
 
 
 def _em_pallas(obs, gamma0, kernel0, num_iters, model, update_alpha,
-               frame_mask, return_state, sweeps, interpret):
+               frame_mask, return_state, sweeps, interpret,
+               init=None, num_classes=None):
     """Shared fused-EM driver for both mixture models.
 
     obs (..., F, M, T), gamma0/kernel0 (K, ..., F, T); ``kernel0`` is the
-    CACG quadratic kernel or the CG phi, per ``model``.
+    CACG quadratic kernel or the CG phi, per ``model``.  With
+    ``init="higuchi"`` (K=2 only) gamma0/kernel0 are None and the
+    covariance init runs in-kernel (pass ``num_classes`` explicitly).
     """
     *lead, f, m, t = obs.shape
-    k_classes = gamma0.shape[0]
+    k_classes = num_classes if init else gamma0.shape[0]
+    if init and k_classes != 2:
+        raise ValueError("in-kernel Higuchi init is a K=2 construction")
     nbins = int(np.prod(lead)) * f if lead else f
     # frame mask doubles as the padded-bin mask (zero rows contribute
     # nothing to any statistic or to Q)
@@ -282,17 +423,23 @@ def _em_pallas(obs, gamma0, kernel0, num_iters, model, update_alpha,
     lead_f = (*lead, f)
     zre = _to_bins(jnp.real(obs).astype(jnp.float32), lead_f, t)
     zim = _to_bins(jnp.imag(obs).astype(jnp.float32), lead_f, t)
-    # gamma/kernel: (K, ..., F, T) -> bins-major with K inner
-    g_in = jnp.moveaxis(gamma0.astype(jnp.float32), 0, -2)  # (...,F,K,T)
-    k_in = jnp.moveaxis(kernel0.astype(jnp.float32), 0, -2)
-    g0b = _to_bins(g_in, lead_f, t)
-    k0b = _to_bins(k_in, lead_f, t)
+    if init:
+        g0b = k0b = None
+    else:
+        # gamma/kernel: (K, ..., F, T) -> bins-major with K inner
+        g_in = jnp.moveaxis(gamma0.astype(jnp.float32), 0, -2)
+        k_in = jnp.moveaxis(kernel0.astype(jnp.float32), 0, -2)
+        g0b = _to_bins(g_in, lead_f, t)
+        k0b = _to_bins(k_in, lead_f, t)
     fmb = _to_bins(fm_full, lead_f, t)
 
+    init_form = ("plane" if _plane_init_fits(t, m, k_classes)
+                 else "cov") if init else "plane"
     gamma_b, kern_b, q_b, cre_b, cim_b, alpha_b = _em_blocks(
         zre, zim, g0b, k0b, fmb, m=m, k_classes=k_classes,
         num_iters=num_iters, update_alpha=update_alpha, sweeps=sweeps,
-        model=model, interpret=interpret)
+        model=model, init=init, init_form=init_form,
+        interpret=interpret)
 
     def from_bins(blocked, inner):
         # (nb, inner..., 8, 128) -> (nbins, inner...)
@@ -318,41 +465,45 @@ def _em_pallas(obs, gamma0, kernel0, num_iters, model, update_alpha,
 
 
 def cacgmm_em_pallas(obs: jax.Array,
-                     gamma0: jax.Array,
-                     kernel0: jax.Array,
+                     gamma0: jax.Array | None,
+                     kernel0: jax.Array | None,
                      num_iters: int,
                      update_alpha: bool = True,
                      frame_mask: jax.Array | None = None,
                      return_state: bool = False,
                      sweeps: int = _SWEEPS,
+                     init: str | None = None,
                      interpret: bool = False):
     """Fused CACGMM EM: obs (..., F, M, T) L2-normalized observations,
     gamma0/kernel0 (K, ..., F, T) initial responsibilities/kernels.
 
     Returns (gamma (K, ..., F, T), q_hist (num_iters,)) and the state
     dict when ``return_state``; drop-in for the scan in
-    enhance/cluster.cacgmm_em.
+    enhance/cluster.cacgmm_em.  ``init="higuchi"`` (K=2) replaces the
+    gamma0/kernel0 operands (pass None) with the in-kernel covariance
+    init — sample covariance vs identity.
     """
     return _em_pallas(obs, gamma0, kernel0, num_iters, "cacg",
                       update_alpha, frame_mask, return_state, sweeps,
-                      interpret)
+                      interpret, init=init, num_classes=2)
 
 
 def cgmm_em_pallas(obs: jax.Array,
-                   gamma0: jax.Array,
-                   phi0: jax.Array,
+                   gamma0: jax.Array | None,
+                   phi0: jax.Array | None,
                    num_iters: int,
                    update_alpha: bool = False,
                    frame_mask: jax.Array | None = None,
                    return_state: bool = False,
                    sweeps: int = _SWEEPS,
+                   init: str | None = None,
                    interpret: bool = False):
     """Fused CGMM EM: obs (..., F, M, T) RAW (unnormalized) spectra,
-    gamma0/phi0 (K, ..., F, T) initial responsibilities / class powers
-    (the caller computes them from the covariance init exactly as the
-    XLA path does).  Drop-in for the scan in enhance/cluster.cgmm_em;
-    the state dict gains the final "phi" plane.
+    gamma0/phi0 (K, ..., F, T) initial responsibilities / class powers.
+    Drop-in for the scan in enhance/cluster.cgmm_em; the state dict
+    gains the final "phi" plane.  ``init="higuchi"`` (the K=2 default
+    init) runs the covariance init in-kernel — pass gamma0/phi0 None.
     """
     return _em_pallas(obs, gamma0, phi0, num_iters, "cg",
                       update_alpha, frame_mask, return_state, sweeps,
-                      interpret)
+                      interpret, init=init, num_classes=2)

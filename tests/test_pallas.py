@@ -721,6 +721,53 @@ def test_fused_cgmm_em_frame_mask_and_dispatch(rng):
                                rtol=2e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("form", ["plane", "cov"])
+def test_fused_em_inkernel_higuchi_init(rng, form):
+    """init="higuchi" (the K=2 covariance init folded into the fused
+    kernel, r05 — it replaces an XLA entry path that measured
+    ~6.7 ms/call, the whole CGMM-vs-CACGMM gap) matches the XLA init +
+    scan for BOTH mixture models, driven through the public dispatch.
+    Both loop forms are exercised: "plane" (fast, init e_step before
+    the plane-carry loop) and "cov" (long-T packed covariance carry),
+    selected by forcing the footprint model."""
+    from functools import partial as _partial
+    import setk_tpu.ops.pallas.cacgmm_em as fused_mod
+    from setk_tpu.enhance.cluster import cacgmm_em, cgmm_em
+    b, f, m, t, k, iters = 2, 24, 3, 16, 2, 4
+    obs = (rng.standard_normal((b, f, m, t)) +
+           1j * rng.standard_normal((b, f, m, t))).astype(np.complex64)
+    obs[:, :, 1:, :] += 0.5 * obs[:, :, :1, :]
+    ref_g, ref_q = cgmm_em(obs, k, num_iters=iters, use_fused=False)
+    orig = fused_mod.cgmm_em_pallas
+    orig_fits = fused_mod._plane_init_fits
+    fused_mod.cgmm_em_pallas = _partial(orig, interpret=True)
+    fused_mod._plane_init_fits = lambda *a: form == "plane"
+    try:
+        got_g, got_q = cgmm_em(obs, k, num_iters=iters, use_fused=True)
+    finally:
+        fused_mod.cgmm_em_pallas = orig
+        fused_mod._plane_init_fits = orig_fits
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=2e-3, atol=1e-3)
+    ref_g2, ref_q2 = cacgmm_em(obs, k, num_iters=iters, cgmm_init=True,
+                               use_fused=False)
+    orig2 = fused_mod.cacgmm_em_pallas
+    fused_mod.cacgmm_em_pallas = _partial(orig2, interpret=True)
+    fused_mod._plane_init_fits = lambda *a: form == "plane"
+    try:
+        got_g2, got_q2 = cacgmm_em(obs, k, num_iters=iters,
+                                   cgmm_init=True, use_fused=True)
+    finally:
+        fused_mod.cacgmm_em_pallas = orig2
+        fused_mod._plane_init_fits = orig_fits
+    np.testing.assert_allclose(np.asarray(got_g2), np.asarray(ref_g2),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_q2), np.asarray(ref_q2),
+                               rtol=2e-3, atol=1e-3)
+
+
 def test_pmwf_solve_kernel_powers(rng):
     """pmwf_solve_pallas(return_powers=True): the in-kernel per-channel
     SNR powers reproduce the einsum selection (pmwf_select_ref) and the
