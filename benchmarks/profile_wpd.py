@@ -114,13 +114,13 @@ def main():
                (obs, jnp.zeros(())), AUDIO, iters=4)
 
     def capon_body(c):
+        # mirrors the r05 wpd() stage: ONE fused pair-covariance pass
+        # for (Rs, Rd) + the fused Capon solve
         from setk_tpu.ops.pallas.mvdr import mvdr_power_pallas
         o, s = c
         acc = s
         for _ in range(3):
-            rd_num, _ = bf.covar_stats(o, 1.0 / lam0)
-            rd = rd_num / t
-            rs = bf.compute_covar(o, mask0)
+            rs, rd = bf.compute_covar_pair(o, mask0, 1.0 / lam0)
             weight = mvdr_power_pallas(rs, rd)
             enh = bf.beamform(weight, o)
             acc = acc + jnp.mean(jnp.abs(enh)).astype(jnp.float32) * 1e-9

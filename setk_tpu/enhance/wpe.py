@@ -246,10 +246,16 @@ def wpd(obs: jax.Array,
                            sweeps=3 if use_fused else None)
         tf_mask = gamma[0]  # speech class (sample-covariance init)
         if use_fused:
-            # Pallas covariance kernel; the einsum below is its XLA twin
-            rd_num, _ = bf.covar_stats(der, 1.0 / lam)
-            rd = rd_num / t
-            rs = bf.compute_covar(der, tf_mask)
+            # ONE fused pair-covariance pass for (Rs, Rd): the pair
+            # products are shared and obs is read once
+            # (ops/pallas/covariance_pair.py).  Rd here is normalized by
+            # sum(1/lambda) instead of the XLA twin's 1/t — the Capon
+            # weight is scale-invariant in Rd (relative diagonal
+            # loading, ops/pallas/mvdr.py), so only f32 rounding
+            # differs.  Two separate kernel calls measured ~5.3 ms/iter
+            # of the WPD budget vs ~3.5 for the fused pair + solve
+            # (profile_wpd r05).
+            rs, rd = bf.compute_covar_pair(der, tf_mask, 1.0 / lam)
             # the lambda-weighted MVDR = Capon against Rd with an
             # Rs-principal steer — exactly the fused power-iteration
             # kernel (steer + anchored Cholesky Capon in one VMEM pass).
