@@ -16,6 +16,7 @@ import numpy as np
 
 
 def read(fname, start=0, stop=None, dtype="float32", **_kw):
+    start = 0 if start is None else start
     with _wave.open(fname, "rb") as fd:
         sr = fd.getframerate()
         channels = fd.getnchannels()

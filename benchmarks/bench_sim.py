@@ -77,7 +77,9 @@ def sim_args(workdir: Path, out: Path):
     return [
         "--src-spk", f"{workdir}/spk1.wav,{workdir}/spk2.wav",
         "--src-rir", f"{workdir}/rir_spk1.wav,{workdir}/rir_spk2.wav",
-        "--src-sdr", "2,-2",
+        # N-1 values: speaker 0 is the 0 dB reference (both CLIs share
+        # the reference's semantics, wav_simulate.py:177-185)
+        "--src-sdr", "-4",
         "--src-begin", "0,16000",
         "--point-noise", f"{workdir}/ptn.wav",
         "--point-noise-rir", f"{workdir}/rir_ptn.wav",
@@ -186,7 +188,7 @@ def main():
 
     result = {
         "config": "6ch room (rt60 0.5, image method, 8000-tap RIRs), "
-                  "2 spk (sdr 2/-2) + point noise (snr 10) + isotropic "
+                  "2 spk (spk2 at sdr -4) + point noise (snr 10) + isotropic "
                   "(snr 15), 8.5 s mixture",
         "reference_rtf_min": ref_min,
         "reference_rtf_all": ref_all,

