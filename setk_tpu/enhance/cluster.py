@@ -173,7 +173,8 @@ def cgmm_em(obs: jax.Array,
         # (benchmarks/profile_em5.py r05)
         from setk_tpu.ops.pallas.cacgmm_em import (cgmm_em_pallas,
                                                    cacgmm_fused_supported)
-        if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
+        if cacgmm_fused_supported(obs.shape, num_classes, num_iters,
+                                  init=True):
             kw = {} if sweeps is None else {"sweeps": sweeps}
             return cgmm_em_pallas(obs, None, None, num_iters,
                                   update_alpha=update_alpha,
@@ -313,7 +314,8 @@ def cacgmm_em(obs: jax.Array,
         # covariance init in-kernel (see the cgmm_em dispatch note)
         from setk_tpu.ops.pallas.cacgmm_em import (cacgmm_em_pallas,
                                                    cacgmm_fused_supported)
-        if cacgmm_fused_supported(obs.shape, num_classes, num_iters):
+        if cacgmm_fused_supported(obs.shape, num_classes, num_iters,
+                                  init=True):
             kw = {} if sweeps is None else {"sweeps": sweeps}
             fm0 = None if frame_mask is None else jnp.asarray(frame_mask)
             return cacgmm_em_pallas(obs, None, None, num_iters,

@@ -369,15 +369,31 @@ def _plane_init_fits(t: int, m: int, k_classes: int) -> bool:
 
 
 def cacgmm_fused_supported(shape, num_classes: int,
-                           num_iters: int) -> bool:
-    """Static dispatch guard: M cap, K cap and the VMEM budget."""
+                           num_iters: int, init: bool = False) -> bool:
+    """Static dispatch guard: M cap, K cap and a measurement-calibrated
+    scoped-VMEM gate per loop form (see _plane_init_fits for the
+    calibration method; the original naive resident-array estimate
+    under-counted Mosaic's stack ~4x and admitted shapes that OOM'd on
+    chip — e.g. the CACGMM operand path at M=6 T=501).
+
+    ``init=True``: the Higuchi-init dispatch, which can fall back to
+    the packed covariance-carry form at long T (gate: the cov form
+    compiled at M=6 T=501 on chip; 38M + T*2m*12K stays under the
+    112M margin up to T~515 at M=6).  ``init=False``: the operand
+    (g0/k0 plane) path — conservative 16K/frame/mic-plane gate fitted
+    between M=5 T=368 (compiles) and M=6 T=501 (OOM).
+    Shapes over the gate run the XLA scan instead of crashing.
+    """
     *batch, f, m, t = shape
     if m > 8 or num_classes > 4 or num_iters > 64:
         return False
-    # resident block arrays: z (2m), gamma/kernel in (2K) + gamma/kern
-    # out (2K) + loop-carried copies (~K), fm
-    per_bin = 4 * t * (2 * m + 5 * num_classes + 1)
-    return per_bin * _TILE <= _VMEM_BUDGET
+    kscale = max(num_classes / 2, 1.0)
+    if init:
+        fits = (_plane_init_fits(t, m, num_classes) or
+                38 * 2**20 + t * 2 * m * 12288 * kscale <= 112 * 2**20)
+    else:
+        fits = 38 * 2**20 + t * 2 * m * 16384 * kscale <= 112 * 2**20
+    return fits
 
 
 def _to_bins(arr, lead_shape, t):
