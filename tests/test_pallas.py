@@ -859,3 +859,23 @@ def test_fused_em_sweeps_knob(rng):
     g3, _ = cacgmm_em_pallas(obs_n, gamma0, kernel0, iters, sweeps=3,
                              interpret=True)
     assert np.abs(np.asarray(g6) - np.asarray(g3)).mean() < 5e-3
+
+
+def test_em_dispatch_gates_calibrated():
+    """The fused-EM dispatch gates encode on-chip compile points: the
+    bench/golden shapes stay fused, the chip-verified long-T init form
+    is admitted, and the operand shape that OOM'd on the v5e (M=6
+    T=501, latent since r04) falls back to the XLA scan."""
+    from setk_tpu.ops.pallas.cacgmm_em import cacgmm_fused_supported
+    # (shape, init_in, operand_in)
+    cases = [
+        ((1, 257, 6, 251), True, True),    # bench/WPD shape
+        ((1, 257, 5, 368), True, True),    # golden EM shape
+        ((1, 257, 6, 501), True, False),   # cov-form verified / OOM
+        ((1, 257, 6, 600), False, False),  # beyond every verified point
+        ((1, 257, 6, 1001), False, False),
+    ]
+    for shape, init_in, operand_in in cases:
+        assert cacgmm_fused_supported(shape, 2, 20, init=True) == init_in, \
+            shape
+        assert cacgmm_fused_supported(shape, 2, 20) == operand_in, shape
